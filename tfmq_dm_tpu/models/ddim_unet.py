@@ -171,13 +171,12 @@ def layer_infos(cfg: DDIMUNetConfig) -> List[LayerInfo]:
     for kind, name, shape in iter_layers(cfg):
         if kind == "norm" or kind in ("conv_fp", "conv_ds"):
             continue
-        base = name.rsplit(".", 1)[0]
-        if ".block." in name:
-            unit = base  # resnet unit, e.g. down.0.block.0
-        elif ".attn." in name or base.startswith("mid.attn"):
-            unit = base
-        elif name.startswith("temb.") :
+        base, _, role = name.rpartition(".")
+        if name.startswith("temb."):
             unit = "tib"
+        elif role in ("conv1", "temb_proj", "conv2") or \
+                role in ("q", "k", "v", "proj_out"):
+            unit = base  # res / attn unit, e.g. down.0.block.0, mid.attn_1
         else:
             unit = name  # standalone layer unit (conv_in, upsample, conv_out)
         infos.append(LayerInfo(
@@ -206,10 +205,10 @@ def recon_units(cfg: DDIMUNetConfig) -> List[Tuple[str, str]]:
             continue
         if name.startswith("temb."):
             continue
-        base = name.rsplit(".", 1)[0]
-        if ".block." in name:
+        base, _, role = name.rpartition(".")
+        if role in ("conv1", "temb_proj", "conv2"):
             u = (base, "res")
-        elif ".attn." in name:
+        elif role in ("q", "k", "v", "proj_out"):
             u = (base, "attn")
         else:
             u = (name, "layer")

@@ -1,0 +1,43 @@
+"""Quantized-inference wiring: build the per-step model callback for the
+scan samplers from a calibration artifact.
+
+The reference swaps activation params by calling ``load_state_dict`` on
+every denoising step (denoising.py:26-29; ddpm.py:1403-1405 — a host
+round-trip per step). Here the FSC state is a batched array pytree and the
+swap is a `dynamic_index` inside the jitted scan.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from .adapter import ModelAdapter
+from .context import QuantCtx
+from .fsc import slice_fsc
+
+
+def make_model_fn(adapter: ModelAdapter, params, wstate: Optional[Dict],
+                  astate_batched: Optional[Dict] = None, *,
+                  use_wq: bool = True, use_aq: bool = False,
+                  group_of_step=None) -> Callable:
+    """Returns ``model_fn(x, t, step) -> eps`` for the scan samplers.
+
+    ``group_of_step``: optional int array mapping sampler step index ->
+    FSC group (identity when None — the DDIM convention ``act_{cnt}``,
+    denoising.py:26-29; LDM uses a t-derived map, ddpm.py:1403-1405).
+    """
+    if group_of_step is not None:
+        group_of_step = jnp.asarray(group_of_step, jnp.int32)
+
+    def model_fn(x, t, step):
+        astate = {}
+        if use_aq and astate_batched is not None:
+            g = step if group_of_step is None else group_of_step[step]
+            astate = slice_fsc(astate_batched, g)
+        ctx = QuantCtx(adapter.policy, wstate=wstate or {}, astate=astate,
+                       use_wq=use_wq, use_aq=use_aq)
+        return adapter.forward(params, ctx, x, t)
+
+    return model_fn

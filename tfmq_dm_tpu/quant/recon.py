@@ -1,0 +1,243 @@
+"""Reconstruction engine: TIAR block/layer/TIB reconstruction as jitted
+`lax.scan` Adam loops.
+
+Re-specifies the reference's reconstruction drivers
+(/root/reference/quant/reconstruction.py:13-318) and the capture machinery
+(data_utill.py:13-169) TPU-first:
+
+- block I/O capture is a pure jitted forward returning the QuantCtx tape —
+  XLA dead-code-eliminates everything downstream of the tapped unit, which
+  is the compiler-native version of the reference's
+  ``StopForwardException`` early abort;
+- the ``asym`` input capture (quantized-prefix inputs vs FP outputs,
+  data_utill.py:146-157) runs both forwards inside one jit;
+- the 20k-iteration Adam loop over AdaRound alphas is ONE `lax.scan`
+  program, compiled once per (unit kind, shape class) thanks to role-keyed
+  states — the reference re-executes eager torch per iteration;
+- loss = Lp reconstruction + temperature-decayed rounding regularizer
+  gated by warmup, exactly as LossFunc/LossFuncTimeEmbedding
+  (reconstruction_util.py:13-173).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .adapter import ModelAdapter, UnitSpec
+from .adaround import init_alpha, linear_temp_decay, round_regularizer
+from .context import QuantCtx
+from .quantizer import init_qparams, lp_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconHP:
+    """Reconstruction hyperparameters (defaults = the entry scripts',
+    ddim/runners/diffusion.py:296-304 / txt2img.py:473-481)."""
+
+    iters: int = 20000
+    batch_size: int = 32
+    w: float = 0.01
+    b_start: float = 20.0
+    b_end: float = 2.0
+    warmup: float = 0.2
+    lr_alpha: float = 1e-3   # torch.optim.Adam default (reconstruction.py:41)
+    lr_delta: float = 4e-5   # act phase (reconstruction.py:45)
+    p: float = 2.0
+    asym: bool = True
+    use_aq: bool = False
+
+
+def init_weight_qparams(policy, params, scaler: str = "mse") -> Dict:
+    """Per-channel (delta, zp) for every wq-enabled layer, from the weight
+    tensor itself — the effect of the reference's dummy init forward
+    (calibration.py:87-92), which only ever feeds wqtizers their weights."""
+    wstate = {}
+    for name in policy.weight_layers():
+        pol = policy.get(name)
+        if not pol.wq:
+            continue
+        delta, zp = init_qparams(params[name]["w"], pol.w_cfg, scaler=scaler)
+        wstate[name] = {"delta": delta, "zp": zp}
+    return wstate
+
+
+# ---------------------------------------------------------------------------
+# I/O capture
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("adapter", "unit_name",
+                                             "asym", "use_aq"))
+def _capture_batch(adapter: ModelAdapter, unit_name: str, asym: bool,
+                   use_aq: bool, params, wstate, astate, batch):
+    ctx_fp = QuantCtx(adapter.policy, capture=frozenset({unit_name}))
+    adapter.forward(params, ctx_fp, *batch)
+    out = ctx_fp.tape[f"{unit_name}::out"]
+    if asym:
+        ctx_q = QuantCtx(adapter.policy, wstate=wstate, astate=astate,
+                         use_wq=True, use_aq=use_aq,
+                         capture=frozenset({unit_name}))
+        adapter.forward(params, ctx_q, *batch)
+        inp = ctx_q.tape[f"{unit_name}::in"]
+    else:
+        inp = ctx_fp.tape[f"{unit_name}::in"]
+    return inp, out
+
+
+def capture_unit_io(adapter: ModelAdapter, unit: UnitSpec, params,
+                    cali_data: Tuple[jax.Array, ...], wstate, astate=None,
+                    *, asym: bool = True, use_aq: bool = False,
+                    batch_size: int = 128):
+    """Cache (inputs, outputs) of one unit over the calibration set
+    (save_inout, data_utill.py:13-51): inputs from the quantized-prefix
+    forward when ``asym``, outputs always from the FP forward."""
+    if unit.kind == "tib":
+        # TIB's I/O is its own forward on (t[, y]): inputs are the raw cali
+        # timesteps, outputs the FP projection tuple (save_inout(block,
+        # block, ...), reconstruction.py:287)
+        uparams = adapter.extract_uparams(params, unit)
+        rc = adapter.role_cfgs(unit, frozenset())
+        fp_rc = tuple(dataclasses.replace(r, w_cfg=None, aq=False)
+                      for r in rc)
+        inputs = (cali_data[1],) + tuple(cali_data[2:])
+        outputs = adapter.unit_fwd(unit.kind, fp_rc, unit.extra, uparams,
+                                   {}, {}, inputs, False, False)
+        return inputs, outputs
+    astate = astate or {}
+    n = cali_data[0].shape[0]
+    ins, outs = [], []
+    for i in range(0, n, batch_size):
+        batch = tuple(x[i:i + batch_size] for x in cali_data)
+        inp, out = _capture_batch(adapter, unit.name, asym, use_aq,
+                                  params, wstate, astate, batch)
+        ins.append(inp)
+        outs.append(out)
+    inputs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *ins)
+    outputs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+    return inputs, outputs
+
+
+# ---------------------------------------------------------------------------
+# Scanned reconstruction loop
+# ---------------------------------------------------------------------------
+
+def _merge_alpha(wstate_roles, alphas):
+    merged = dict(wstate_roles)
+    for role, a in alphas.items():
+        merged[role] = dict(merged[role])
+        merged[role]["alpha"] = a
+    return merged
+
+
+def _rec_loss(pred, tgt, p):
+    ls = [lp_loss(a, b, p=p) for a, b in
+          zip(jax.tree.leaves(pred), jax.tree.leaves(tgt))]
+    return functools.reduce(jnp.add, ls)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unit_fwd", "kind", "role_cfgs", "extra", "hp"))
+def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
+               hp: ReconHP, uparams, wstate_fixed, alphas, inputs,
+               outputs, key):
+    """The full weight-phase optimization for one unit: scan of
+    {minibatch -> forward(soft) -> loss -> Adam} (reconstruction.py:63-78,
+    182-198, 290-303). Returns (trained alphas, per-iter losses)."""
+    opt = optax.adam(hp.lr_alpha)
+    opt_state = opt.init(alphas)
+    n = jax.tree.leaves(inputs)[0].shape[0]
+    bs = min(hp.batch_size, n)
+    loss_start = hp.warmup * hp.iters
+
+    def loss_fn(a, binp, bout, count):
+        wstate = _merge_alpha(wstate_fixed, a)
+        pred = unit_fwd(kind, role_cfgs, extra, uparams, wstate, {},
+                        binp, True, hp.use_aq)
+        rec = _rec_loss(pred, bout, hp.p)
+        b = linear_temp_decay(count, hp.iters, hp.warmup, hp.b_start,
+                              hp.b_end)
+        reg = functools.reduce(
+            jnp.add, [round_regularizer(v, b) for v in a.values()])
+        reg = jnp.where(count < loss_start, 0.0, hp.w * reg)
+        return rec + reg, rec
+
+    def step(carry, i):
+        a, ost, k = carry
+        k, k1 = jax.random.split(k)
+        idx = jax.random.permutation(k1, n)[:bs]
+        binp = jax.tree.map(lambda x: x[idx], inputs)
+        bout = jax.tree.map(lambda x: x[idx], outputs)
+        (loss, rec), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            a, binp, bout, i + 1.0)
+        updates, ost = opt.update(grads, ost)
+        a = optax.apply_updates(a, updates)
+        return (a, ost, k), rec
+
+    (alphas, _, _), losses = jax.lax.scan(
+        step, (alphas, opt_state, key), jnp.arange(hp.iters, dtype=jnp.float32))
+    return alphas, losses
+
+
+def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
+                     wstate, inputs, outputs, hp: ReconHP, key):
+    """Run weight-phase reconstruction for one unit; returns updated
+    wstate (alphas written back under full layer names) and the loss
+    trace."""
+    train_roles = adapter.default_train_roles(unit)
+    if not train_roles:
+        return wstate, None
+    role_cfgs = adapter.role_cfgs(unit, train_roles)
+    uparams = adapter.extract_uparams(params, unit)
+    wstate_roles = {}
+    alphas = {}
+    for role, full in unit.layers:
+        st = wstate.get(full)
+        if st is None:
+            continue
+        wstate_roles[role] = st
+        if role in train_roles:
+            alphas[role] = st.get("alpha")
+            if alphas[role] is None:
+                alphas[role] = init_alpha(params[full]["w"], st["delta"])
+    fixed = {r: {k: v for k, v in st.items() if not (r in alphas and
+                                                     k == "alpha")}
+             for r, st in wstate_roles.items()}
+
+    alphas, losses = _recon_run(adapter.unit_fwd, unit.kind, role_cfgs,
+                                unit.extra, hp, uparams, fixed, alphas,
+                                inputs, outputs, key)
+    new_wstate = dict(wstate)
+    for role, full in unit.layers:
+        if role in alphas:
+            new_wstate[full] = dict(new_wstate[full])
+            new_wstate[full]["alpha"] = alphas[role]
+    return new_wstate, losses
+
+
+def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
+                hp: ReconHP, key, *, capture_batch_size: int = 128,
+                log=None):
+    """Sequential unit-by-unit reconstruction in module order
+    (recon_model DFS, calibration.py:56-84). Each unit's asym inputs are
+    captured under the current (partially reconstructed, hard-rounded)
+    prefix — order matters, exactly as in the reference."""
+    for unit in adapter.units:
+        train = adapter.default_train_roles(unit)
+        if not unit.recon or not train:
+            continue
+        inputs, outputs = capture_unit_io(
+            adapter, unit, params, cali_data, wstate,
+            asym=hp.asym, use_aq=hp.use_aq,
+            batch_size=capture_batch_size)
+        key, k = jax.random.split(key)
+        wstate, losses = reconstruct_unit(adapter, unit, params, wstate,
+                                          inputs, outputs, hp, k)
+        if log is not None and losses is not None:
+            log(unit.name, losses)
+    return wstate
