@@ -20,7 +20,9 @@ Padding = Union[str, Sequence[Tuple[int, int]]]
 
 def conv2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
            stride: int = 1, padding: Padding = "SAME") -> jax.Array:
-    """x: (B,H,W,Cin), w: (kh,kw,Cin,Cout)."""
+    """x: (B,H,W,Cin), w: (kh,kw,Cin,Cout). x follows w's dtype (so a
+    bf16-cast param tree runs fully in bf16 on the MXU)."""
+    x = x.astype(w.dtype)
     out = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
@@ -33,7 +35,8 @@ def conv2d(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
 
 
 def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
-    """x: (..., Cin), w: (Cin, Cout)."""
+    """x: (..., Cin), w: (Cin, Cout). x follows w's dtype."""
+    x = x.astype(w.dtype)
     out = jnp.dot(x, w, preferred_element_type=x.dtype)
     if b is not None:
         out = out + b
@@ -46,12 +49,13 @@ def group_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     matching torch.nn.GroupNorm semantics."""
     c = x.shape[-1]
     g = groups
-    # (B, H*W, g, c/g) — reduce over (H*W, c/g) per group
-    xg = x.reshape(x.shape[0], -1, g, c // g)
+    dt = x.dtype
+    # (B, H*W, g, c/g) — reduce over (H*W, c/g) per group; stats in f32
+    xg = x.astype(jnp.float32).reshape(x.shape[0], -1, g, c // g)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.var(xg, axis=(1, 3), keepdims=True)
     xn = (xg - mean) * lax.rsqrt(var + eps)
-    xn = xn.reshape(x.shape)
+    xn = xn.reshape(x.shape).astype(dt)
     return xn * gamma + beta
 
 

@@ -47,7 +47,9 @@ class QuantCtx:
                  arange: Optional[dict] = None,
                  act_scaler: str = "mse",
                  ema_momentum: float = 0.95,
-                 unit_of: Optional[Dict[str, str]] = None):
+                 unit_of: Optional[Dict[str, str]] = None,
+                 deploy: Optional[dict] = None,
+                 act_out_dtype=None):
         self.policy = policy
         self.wstate = wstate or {}
         self.astate = astate or {}
@@ -64,6 +66,10 @@ class QuantCtx:
         self.ema_momentum = ema_momentum
         # layer name -> recon unit name (for soft/hard AdaRound selection)
         self.unit_of = unit_of or {}
+        # deployment mode: {layer: IntWeight} => call sites execute int8
+        # ops instead of fake-quant + fp conv (quant/deploy.py)
+        self.deploy = deploy
+        self.act_out_dtype = act_out_dtype
 
     # ---------------- weight path ----------------
 

@@ -2,8 +2,12 @@
 
 Each quantizable op in a model goes through one of these with its unique
 layer name. They replace the reference's QuantLayer.forward
-(quant_layer.py:306-340): optional input fake-quant -> (quantized or FP)
+(quant_layer.py:306-340): optional input fake-quant -> (quant or FP)
 weight -> conv/linear.
+
+In DEPLOY mode (qctx.deploy, see quant/deploy.py) the same call sites
+execute real int8 convs/matmuls on the MXU instead of fake-quant + fp —
+the capability the reference outsources to OpenVINO (README.md:132).
 """
 
 from __future__ import annotations
@@ -12,13 +16,36 @@ from typing import Optional
 
 import jax
 
+from ..ops import int_ops
 from ..ops import nn as fnn
 from .context import QuantCtx
+
+
+def _same_pads(kh: int, kw: int):
+    return ((kh // 2, kh // 2), (kw // 2, kw // 2))
 
 
 def qconv2d(qctx: Optional[QuantCtx], name: str, x: jax.Array,
             params: dict, stride: int = 1, padding="SAME") -> jax.Array:
     w, b = params["w"], params.get("b")
+    if qctx is not None and qctx.deploy is not None and \
+            name in qctx.deploy:
+        iw = qctx.deploy[name]
+        kh, kw_ = iw.w_q.shape[:2]
+        pads = _same_pads(kh, kw_) if padding == "SAME" else \
+            ((0, 0), (0, 0)) if padding == "VALID" else tuple(padding)
+        pol = qctx.policy.get(name)
+        ast = qctx.astate.get(name) if qctx.use_aq and pol.aq else None
+        out_dtype = qctx.act_out_dtype or x.dtype
+        if ast is not None:
+            x_q, zp_xc = int_ops.quantize_act_int8(x, ast["delta"],
+                                                   ast["zp"], pol.a_cfg)
+            return int_ops.int8_conv2d(x_q, zp_xc, ast["delta"], iw, b,
+                                       stride=stride, pads=pads,
+                                       out_dtype=out_dtype)
+        # weight-only: dequantized weights (loop-invariant, XLA hoists)
+        return fnn.conv2d(x, int_ops.dequant_weight(iw, out_dtype), b,
+                          stride=stride, padding=padding)
     if qctx is not None:
         x = qctx.qact(name, x)
         w = qctx.qweight(name, w)
@@ -28,6 +55,18 @@ def qconv2d(qctx: Optional[QuantCtx], name: str, x: jax.Array,
 def qlinear(qctx: Optional[QuantCtx], name: str, x: jax.Array,
             params: dict) -> jax.Array:
     w, b = params["w"], params.get("b")
+    if qctx is not None and qctx.deploy is not None and \
+            name in qctx.deploy:
+        iw = qctx.deploy[name]
+        pol = qctx.policy.get(name)
+        ast = qctx.astate.get(name) if qctx.use_aq and pol.aq else None
+        out_dtype = qctx.act_out_dtype or x.dtype
+        if ast is not None:
+            x_q, zp_xc = int_ops.quantize_act_int8(x, ast["delta"],
+                                                   ast["zp"], pol.a_cfg)
+            return int_ops.int8_linear(x_q, zp_xc, ast["delta"], iw, b,
+                                       out_dtype=out_dtype)
+        return fnn.linear(x, int_ops.dequant_weight(iw, out_dtype), b)
     if qctx is not None:
         x = qctx.qact(name, x)
         w = qctx.qweight(name, w)
