@@ -56,11 +56,22 @@ def main():
                     .astype(jnp.float32))
     fp_tp = _throughput(fp_fn, x, t, b)
 
-    # w8a8 quantized path
+    # w8a8 DEPLOYED integer path (real int8 MXU convs, bf16 elsewhere)
+    from tfmq_dm_tpu.quant.deploy import (deploy_weights,
+                                          make_deployed_model_fn)
+    from tfmq_dm_tpu.quant.fsc import _fsc_init
+
     adapter = ddim_units.build_adapter(cfg, w_bits=8, a_bits=8)
     wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
-    model_fn = make_model_fn(adapter, params, wstate, use_wq=True)
-    q_fn = jax.jit(lambda x, t: model_fn(x, t, 0))
+    astate, _ = _fsc_init(adapter, "minmax", params, wstate,
+                          (x[:8], t[:8]))
+    astate = jax.tree.map(lambda a: a[None], astate)  # 1 FSC group
+    deployed = deploy_weights(adapter.policy, params, wstate)
+    model_fn = make_deployed_model_fn(adapter, params, deployed, astate,
+                                      use_aq=True,
+                                      act_dtype=jnp.bfloat16)
+    q_fn = jax.jit(lambda x, t: model_fn(x.astype(jnp.bfloat16), t,
+                                         0).astype(jnp.float32))
     q_tp = _throughput(q_fn, x, t, b)
 
     print(json.dumps({

@@ -50,7 +50,7 @@ def _recon_run_dp(mesh: Mesh, unit_fwd, kind: str, role_cfgs: tuple,
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P("dp"), P("dp"), P()),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
     def run(alphas, uparams_, inputs_l, outputs_l, key):
         # per-device key (the reference seeds per-rank sampling implicitly
         # via independent torch RNG per process)

@@ -35,14 +35,20 @@ def convert_state_dict(torch_sd: Mapping[str, "object"],
     """
     params: Dict[str, dict] = {}
     for kind, name, shape in layer_iter:
-        if kind == "norm":
+        if kind in ("norm", "lnorm"):
             params[name] = {
                 "scale": jnp.asarray(_to_np(torch_sd[f"{name}.weight"])),
                 "bias": jnp.asarray(_to_np(torch_sd[f"{name}.bias"])),
             }
             continue
+        if kind == "embed":
+            params[name] = {
+                "w": jnp.asarray(_to_np(torch_sd[f"{name}.weight"]))}
+            continue
         w = _to_np(torch_sd[f"{name}.weight"])
-        if kind == "linear":
+        if kind == "conv1d":          # (O, I, 1) -> (I, O)
+            w = w[:, :, 0].T
+        elif kind.startswith("linear"):
             w = w.T
         else:  # conv (O,I,kh,kw) -> (kh,kw,I,O)
             w = w.transpose(2, 3, 1, 0)
