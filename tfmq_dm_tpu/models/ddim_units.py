@@ -165,7 +165,7 @@ def _tib_fwd(role_cfgs, extra, uparams, wstate, astate, inputs, soft_on,
              use_aq):
     """QuantTemporalInformationBlockDDIM.forward (quant_block.py:52-64):
     input (t,), output = tuple of every temb_proj(swish(temb))."""
-    (t,) = inputs
+    t = inputs[0]
     (ch, n_proj) = extra
     temb = fnn.timestep_embedding(t, ch)
     temb = _qlinear(temb, uparams, wstate, astate, _rc(role_cfgs, "dense0"),

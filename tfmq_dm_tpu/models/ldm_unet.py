@@ -535,7 +535,12 @@ def apply(params: Dict[str, dict], cfg: LDMUNetConfig, x: jax.Array,
 
     def run_sub(s: Sub, h):
         if s.kind == "conv":
-            return qfunc.qconv2d(qctx, s.prefix, h, params[s.prefix])
+            if qctx is not None:
+                qctx.tap(s.prefix, "in", (h,))
+            h = qfunc.qconv2d(qctx, s.prefix, h, params[s.prefix])
+            if qctx is not None:
+                qctx.tap(s.prefix, "out", h)
+            return h
         if s.kind == "res":
             eo = res_emb_out(params, cfg, s.prefix, silu_emb, qctx)
             return _res_forward(params, cfg, s, h, eo, qctx)

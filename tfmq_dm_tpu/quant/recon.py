@@ -96,7 +96,7 @@ def capture_unit_io(adapter: ModelAdapter, unit: UnitSpec, params,
     """Cache (inputs, outputs) of one unit over the calibration set
     (save_inout, data_utill.py:13-51): inputs from the quantized-prefix
     forward when ``asym``, outputs always from the FP forward."""
-    if unit.kind == "tib":
+    if unit.kind.startswith("tib"):
         # TIB's I/O is its own forward on (t[, y]): inputs are the raw cali
         # timesteps, outputs the FP projection tuple (save_inout(block,
         # block, ...), reconstruction.py:287)
@@ -104,7 +104,7 @@ def capture_unit_io(adapter: ModelAdapter, unit: UnitSpec, params,
         rc = adapter.role_cfgs(unit, frozenset())
         fp_rc = tuple(dataclasses.replace(r, w_cfg=None, aq=False)
                       for r in rc)
-        inputs = (cali_data[1],) + tuple(cali_data[2:])
+        inputs = (cali_data[1],)  # the TIB consumes only t
         outputs = adapter.unit_fwd(unit.kind, fp_rc, unit.extra, uparams,
                                    {}, {}, inputs, False, False)
         return inputs, outputs
