@@ -1,0 +1,122 @@
+"""CLI end-to-end tests: synthesize torch-format checkpoints (the
+reference's on-disk layouts), then run calibrate + quantized sampling
+through the real command-line surface."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from tfmq_dm_tpu.configs.tasks import get_task
+from tfmq_dm_tpu.models import clip_text, ddim_unet, ldm_unet, vae
+from tfmq_dm_tpu.utils.torch_convert import export_state_dict
+
+torch = pytest.importorskip("torch")
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "tfmq_dm_tpu.cli"] + args,
+        capture_output=True, text=True, env=ENV, cwd="/root/repo",
+        timeout=1200)
+
+
+def _save_ddim_ckpt(path):
+    task = get_task("tiny_ddim")
+    params = ddim_unet.init_params(jax.random.PRNGKey(0), task.unet)
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in
+          export_state_dict(params,
+                            ddim_unet.iter_layers(task.unet)).items()}
+    torch.save(sd, path)
+
+
+def _save_ldm_ckpt(path, task_name="tiny_ldm"):
+    task = get_task(task_name)
+    u = ldm_unet.init_params(jax.random.PRNGKey(0), task.unet)
+    v = vae.init_params(jax.random.PRNGKey(1), task.vae, encoder=False)
+    sd = {}
+    for k, t in export_state_dict(
+            u, ldm_unet.iter_layers(task.unet)).items():
+        sd[f"model.diffusion_model.{k}"] = torch.from_numpy(np.array(t))
+    for k, t in export_state_dict(
+            v, vae.iter_layers(task.vae, encoder=False)).items():
+        sd[f"first_stage_model.{k}"] = torch.from_numpy(np.array(t))
+    if task.cond == "class":
+        emb = np.random.RandomState(0).randn(
+            11, task.unet.context_dim).astype(np.float32)
+        sd["cond_stage_model.embedding.weight"] = torch.from_numpy(emb)
+    torch.save({"state_dict": sd}, path)
+
+
+def test_cli_ddim_cali_and_sample(tmp_path):
+    ckpt = str(tmp_path / "ddpm.pth")
+    cali = str(tmp_path / "cali.npz")
+    _save_ddim_ckpt(ckpt)
+    r = _run(["--task", "tiny_ddim", "--ckpt", ckpt, "--ptq", "--cali",
+              "--wq", "8", "--aq", "8", "--use_aq",
+              "--cali_save_path", cali, "--cali_iters", "5",
+              "--cali_n", "4"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(cali)
+
+    out = str(tmp_path / "run")
+    r = _run(["--task", "tiny_ddim", "--ckpt", ckpt, "--ptq",
+              "--cali_ckpt", cali, "--use_aq", "-n", "4", "--batch", "2",
+              "--out", out, "--npz"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    imgs = os.listdir(os.path.join(out, "img"))
+    assert len(imgs) == 4
+    assert os.path.exists(os.path.join(out, "samples.npz"))
+    # throughput was logged (reference parity: sample_diffusion_ldm:148)
+    assert "imgs/s" in r.stderr
+
+
+def test_cli_ddim_int_kernels(tmp_path):
+    ckpt = str(tmp_path / "ddpm.pth")
+    cali = str(tmp_path / "cali.npz")
+    _save_ddim_ckpt(ckpt)
+    r = _run(["--task", "tiny_ddim", "--ckpt", ckpt, "--ptq", "--cali",
+              "--wq", "8", "--aq", "8", "--use_aq",
+              "--cali_save_path", cali, "--cali_iters", "2",
+              "--cali_n", "4"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = str(tmp_path / "runq")
+    r = _run(["--task", "tiny_ddim", "--ckpt", ckpt, "--ptq",
+              "--cali_ckpt", cali, "--use_aq", "--int-kernels",
+              "-n", "2", "--batch", "2", "--out", out])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert len(os.listdir(os.path.join(out, "img"))) == 2
+
+
+def test_cli_ldm_fp_sampling(tmp_path):
+    ckpt = str(tmp_path / "ldm.ckpt")
+    _save_ldm_ckpt(ckpt)
+    out = str(tmp_path / "run")
+    r = _run(["--task", "tiny_ldm", "--ckpt", ckpt, "-n", "2",
+              "--batch", "2", "--out", out])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert len(os.listdir(os.path.join(out, "img"))) == 2
+
+
+def test_cli_class_cond_cali_and_sample(tmp_path):
+    ckpt = str(tmp_path / "cin.ckpt")
+    _save_ldm_ckpt(ckpt, "tiny_cin")
+    cali = str(tmp_path / "cali.npz")
+    r = _run(["--task", "tiny_cin", "--ckpt", ckpt, "--ptq", "--cali",
+              "--wq", "8", "--aq", "8", "--use_aq",
+              "--cali_save_path", cali, "--cali_iters", "2",
+              "--cali_n", "2", "--classes", "0,1"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = str(tmp_path / "run")
+    r = _run(["--task", "tiny_cin", "--ckpt", ckpt, "--ptq",
+              "--cali_ckpt", cali, "--use_aq", "-n", "2", "--batch", "2",
+              "--classes", "0,1", "--out", out])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert len(os.listdir(os.path.join(out, "img"))) == 2

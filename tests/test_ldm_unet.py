@@ -45,6 +45,7 @@ def _torch_unet(cfg: ldm_unet.LDMUNetConfig):
         num_classes=cfg.num_classes, num_heads=cfg.num_heads,
         num_head_channels=cfg.num_head_channels,
         use_scale_shift_norm=cfg.use_scale_shift_norm,
+        resblock_updown=cfg.resblock_updown,
         use_spatial_transformer=cfg.use_spatial_transformer,
         transformer_depth=cfg.transformer_depth,
         context_dim=cfg.context_dim, legacy=cfg.legacy)
@@ -77,7 +78,8 @@ def test_layer_info_order():
 
 
 @pytest.mark.skipif(not pytorch_available, reason="reference not mounted")
-@pytest.mark.parametrize("family", ["ldm", "sd", "class_cond", "ssn"])
+@pytest.mark.parametrize("family", ["ldm", "sd", "class_cond", "ssn",
+                                    "churches"])
 def test_golden_parity(family):
     import torch
     if family == "ldm":
@@ -86,6 +88,11 @@ def test_golden_parity(family):
         cfg = ldm_unet.tiny_sd_config()
     elif family == "class_cond":
         cfg = ldm_unet.tiny_ldm_config(num_classes=10)
+    elif family == "churches":
+        # LSUN-churches style: resblock up/down + scale-shift norm
+        cfg = ldm_unet.tiny_ldm_config(use_scale_shift_norm=True,
+                                       resblock_updown=True,
+                                       attention_resolutions=(1, 2))
     else:
         cfg = ldm_unet.tiny_ldm_config(use_scale_shift_norm=True)
     tm = _torch_unet(cfg)

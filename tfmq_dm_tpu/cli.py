@@ -1,0 +1,255 @@
+"""tfmq — the unified CLI, covering the reference's four entry scripts
+(sample_diffusion_ddim.py, sample_diffusion_ldm.py, txt2img.py,
+latent_imagenet_diffusion.py) with one task-parameterized command.
+
+Calibrate (then exit, like the reference's --cali):
+  python -m tfmq_dm_tpu.cli --task cifar10 --ckpt ddpm.pth --ptq --cali \\
+      --wq 4 --aq 8 --use_aq --cali_save_path cali.npz
+
+Quantized sampling from a calibration artifact:
+  python -m tfmq_dm_tpu.cli --task cifar10 --ckpt ddpm.pth --ptq \\
+      --cali_ckpt cali.npz --use_aq -n 50000 --batch 64 --out runs/c10
+
+Text-to-image (SD v1.4):
+  python -m tfmq_dm_tpu.cli --task sd_v1_4 --ckpt sd-v1-4.ckpt --ptq \\
+      --cali_ckpt cali.npz --from-file prompts.txt --scale 7.5
+
+Flags mirror the reference argparse surface
+(sample_diffusion_ddim.py:13-107 etc.): --ptq --wq --aq --softmax_a_bit
+--cali --cali_ckpt --cali_save_path --use_aq --interval_length plus
+sampler/batch knobs. ``--int-kernels`` additionally deploys real int8
+MXU kernels (beyond the reference, which fake-quants at FP speed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("tfmq")
+    p.add_argument("--task", required=True,
+                   help="cifar10|celeba256|ffhq256|lsun_beds256|"
+                        "lsun_churches256|cin256_v2|sd_v1_4|...")
+    p.add_argument("--ckpt", required=True, help="torch FP checkpoint")
+    p.add_argument("--out", default="runs/out")
+    p.add_argument("--seed", type=int, default=1234)
+    # quantization (reference flag names)
+    p.add_argument("--ptq", action="store_true")
+    p.add_argument("--wq", type=int, default=4)
+    p.add_argument("--aq", type=int, default=8)
+    p.add_argument("--softmax_a_bit", type=int, default=8)
+    p.add_argument("--use_aq", action="store_true")
+    p.add_argument("--cali", action="store_true",
+                   help="run calibration, save artifact, exit")
+    p.add_argument("--cali_ckpt", default=None)
+    p.add_argument("--cali_save_path", default="cali.npz")
+    p.add_argument("--cali_n", type=int, default=None,
+                   help="cali samples per timestep (default: task)")
+    p.add_argument("--cali_iters", type=int, default=20000)
+    p.add_argument("--interval_length", type=int, default=None)
+    p.add_argument("--no_running_stat", action="store_true")
+    p.add_argument("--int-kernels", dest="int_kernels",
+                   action="store_true",
+                   help="deploy real int8 MXU kernels")
+    # sampling
+    p.add_argument("--timesteps", type=int, default=None)
+    p.add_argument("--eta", type=float, default=None)
+    p.add_argument("--scale", type=float, default=None,
+                   help="classifier-free guidance scale")
+    p.add_argument("-n", "--num_images", type=int, default=64)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--npz", action="store_true", help="dump npz for FID")
+    # conditioning inputs
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--from-file", dest="from_file", default=None,
+                   help="file with one prompt per line (e.g. COCO)")
+    p.add_argument("--classes", default=None,
+                   help="comma-separated ImageNet class ids")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def _get_context(task, args, cond_params, n):
+    """(context, uncond) conditioning arrays for n samples."""
+    from .models import clip_text
+    if task.cond == "text":
+        if args.from_file:
+            with open(args.from_file) as f:
+                prompts = [ln.strip() for ln in f if ln.strip()]
+        elif args.prompt:
+            prompts = [args.prompt]
+        else:
+            raise SystemExit("--prompt or --from-file required for text")
+        prompts = (prompts * ((n + len(prompts) - 1) // len(prompts)))[:n]
+        ccfg = clip_text.vit_l_14_config()
+        toks = clip_text.tokenize(prompts)
+        utoks = clip_text.tokenize([""] * n)
+        ctx = clip_text.apply(cond_params, ccfg, toks)
+        uc = clip_text.apply(cond_params, ccfg, utoks)
+        return ctx, uc
+    if task.cond == "class":
+        if args.classes:
+            cls = [int(c) for c in args.classes.split(",")]
+        else:
+            cls = list(range(8))
+        cls = (cls * ((n + len(cls) - 1) // len(cls)))[:n]
+        y = jnp.asarray(cls, jnp.int32)
+        ctx = clip_text.class_embed(cond_params["embedding"], y)
+        uc = clip_text.class_embed(
+            cond_params["embedding"],
+            jnp.full((n,), cond_params["embedding"].shape[0] - 1,
+                     jnp.int32))
+        return ctx, uc
+    return None, None
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s")
+    logger = logging.getLogger("tfmq")
+    args = build_argparser().parse_args(argv)
+
+    # honor JAX_PLATFORMS even when a platform plugin (e.g. the axon TPU
+    # sitecustomize) force-updated jax_platforms at interpreter start
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and "," not in plat:
+        jax.config.update("jax_platforms", plat)
+
+    from .configs.tasks import get_task
+    from .models import ddim_unet, ldm_unet
+    from .pipelines import loading, ptq, sampling
+    from .quant.calibrate import load_cali_model
+    from .quant.deploy import deploy_weights, make_deployed_model_fn
+    from .quant.inference import make_model_fn
+    from .samplers.ldm import group_of_step_from_t, make_cfg_model_fn
+
+    task = get_task(args.task)
+    if args.interval_length is not None:
+        import dataclasses
+        task = dataclasses.replace(task,
+                                   interval_length=args.interval_length)
+    key = jax.random.PRNGKey(args.seed)
+    os.makedirs(args.out, exist_ok=True)
+
+    # ---- load FP model ----
+    if task.family == "ddim":
+        params = loading.load_ddim_checkpoint(args.ckpt, task.unet)
+        vae_params = cond_params = None
+
+        def fp_apply(x, t, c=None, qctx=None):
+            return ddim_unet.apply(params, task.unet, x, t, qctx)
+    else:
+        params, vae_params, cond_params = loading.load_ldm_checkpoint(
+            args.ckpt, task)
+
+        def fp_apply(x, t, c=None, qctx=None):
+            return ldm_unet.apply(params, task.unet, x, t, context=c,
+                                  qctx=qctx)
+
+    qargs = ptq.QuantArgs(
+        wq=args.wq, aq=args.aq, softmax_a_bit=args.softmax_a_bit,
+        use_aq=args.use_aq, running_stat=not args.no_running_stat,
+        iters=args.cali_iters, cali_save_path=args.cali_save_path,
+        seed=args.seed)
+    adapter = ptq.build_adapter(task, qargs) if args.ptq else None
+
+    n_per_t = args.cali_n or task.cali_n
+    scale = args.scale if args.scale is not None else task.cfg_scale
+
+    # ---- calibrate-then-exit (the reference --cali flow) ----
+    if args.ptq and args.cali:
+        ctx, uc = _get_context(task, args, cond_params, n_per_t) \
+            if task.cond != "none" else (None, None)
+        logger.info("harvesting calibration data (%d per step)", n_per_t)
+        key, k = jax.random.split(key)
+        w_cali, a_cali, cali_t = ptq.generate_cali_data(
+            task, lambda x, t, c: fp_apply(x, t, c), k,
+            n_per_t=n_per_t, context=ctx, uncond=uc, cfg_scale=scale,
+            steps=args.timesteps)
+        logger.info("calibrating -> %s", args.cali_save_path)
+        key, k = jax.random.split(key)
+        ptq.quantize_task(task, adapter, params, qargs, w_cali, a_cali,
+                          cali_t=cali_t, key=k)
+        logger.info("calibration done")
+        return 0
+
+    # ---- build the (possibly quantized) per-step model fn ----
+    sampler_fn, sample_t = ptq.make_schedule(task, steps=args.timesteps,
+                                             eta=args.eta)
+    wstate = astate = None
+    group_of_step = None
+    if args.ptq:
+        assert args.cali_ckpt, "--cali_ckpt required with --ptq sampling"
+        wstate, astate, meta = load_cali_model(args.cali_ckpt)
+        if astate is not None and "cali_t" in meta:
+            group_of_step = group_of_step_from_t(
+                np.asarray(meta["cali_t"]), np.asarray(sample_t))
+
+    n = args.num_images
+    ctx = uc = None
+    if task.cond != "none":
+        ctx, uc = _get_context(task, args, cond_params, args.batch)
+
+    def apply_q(x, t, c, step):
+        if not args.ptq:
+            return fp_apply(x, t, c)
+        if args.int_kernels:
+            return dep_fn_c(x, t, c, step)
+        from .quant.context import QuantCtx
+        from .quant.fsc import slice_fsc
+        ast = {}
+        if args.use_aq and astate is not None:
+            g = step if group_of_step is None else \
+                jnp.asarray(group_of_step)[step]
+            ast = slice_fsc(astate, g)
+        qctx = QuantCtx(adapter.policy, wstate=wstate, astate=ast,
+                        use_wq=True, use_aq=args.use_aq)
+        return fp_apply(x, t, c, qctx=qctx)
+
+    if args.ptq and args.int_kernels:
+        deployed = deploy_weights(adapter.policy, params, wstate)
+
+        def dep_fn_c(x, t, c, step):
+            from .quant.context import QuantCtx
+            from .quant.fsc import slice_fsc
+            ast = {}
+            if args.use_aq and astate is not None:
+                g = step if group_of_step is None else \
+                    jnp.asarray(group_of_step)[step]
+                ast = slice_fsc(astate, g)
+            qctx = QuantCtx(adapter.policy, wstate={}, astate=ast,
+                            use_wq=True, use_aq=args.use_aq,
+                            deploy=deployed)
+            return fp_apply(x, t, c, qctx=qctx)
+
+    if task.cond != "none":
+        model_fn = make_cfg_model_fn(
+            lambda x, t, c, s: apply_q(x, t, c, s), ctx, uc, scale)
+    else:
+        model_fn = lambda x, t, s: apply_q(x, t, None, s)
+
+    logger.info("sampling %d images (batch %d)", n, args.batch)
+    t0 = time.time()
+    sampling.sample_fid(
+        task, sampler_fn, model_fn, n_images=n, batch_size=args.batch,
+        key=key, out_dir=os.path.join(args.out, "img"),
+        vae_params=vae_params,
+        npz_path=os.path.join(args.out, "samples.npz") if args.npz
+        else None)
+    logger.info("done in %.1f min", (time.time() - t0) / 60)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

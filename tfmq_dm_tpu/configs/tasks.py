@@ -1,0 +1,202 @@
+"""Task registry: one typed config per supported model/dataset, replacing
+the reference's three-layer config soup (argparse + yaml/OmegaConf +
+hardcoded run policy — SURVEY.md §5 'Config / flag system').
+
+Values are transcribed from:
+- ddim/configs/{cifar10,celeba,church,bedroom}.yml
+- stable-diffusion/models/ldm/*/config.yaml and
+  configs/latent-diffusion/cin256-v2.yaml,
+  configs/stable-diffusion/v1-inference.yaml
+- the README sampler settings (README.md:86-125)
+- the entry scripts' hardcoded recon hyperparameters
+  (ddim/runners/diffusion.py:296-310, sample_diffusion_ldm.py:531-539,
+  txt2img.py:473-487, latent_imagenet_diffusion.py:272-280).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from ..models import ddim_unet, ldm_unet, vae as vae_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    name: str
+    family: str                    # "ddim" | "ldm"
+    unet: object
+    vae: Optional[vae_mod.VAEConfig] = None
+    cond: str = "none"             # "none" | "class" | "text"
+    # diffusion schedule
+    beta_schedule: str = "linear"
+    beta_start: float = 1e-4
+    beta_end: float = 2e-2
+    num_timesteps: int = 1000
+    # default sampler settings (README.md:86-125)
+    sampler: str = "ddim"          # ddim|ddpm|plms|dpm (ldm);
+    # generalized|ddpm_noisy (ddim family)
+    steps: int = 100
+    eta: float = 0.0
+    skip_type: str = "uniform"     # uniform | quad
+    cfg_scale: float = 1.0
+    # calibration defaults
+    cali_n: int = 256              # samples per timestep
+    interval_length: int = 1       # weight-phase timestep subsampling
+    recon_batch: int = 32
+    use_ema: bool = True
+    # text defaults
+    n_prompts: int = 128
+
+
+def cifar10() -> TaskConfig:
+    return TaskConfig(
+        name="cifar10", family="ddim",
+        unet=ddim_unet.cifar10_config(),
+        beta_schedule="linear", beta_start=0.0001, beta_end=0.02,
+        sampler="generalized", steps=100, eta=0.0, skip_type="quad",
+        cali_n=256, interval_length=5)
+
+
+def _ddim_lsun(name, resolution=256) -> TaskConfig:
+    unet = ddim_unet.DDIMUNetConfig(
+        resolution=resolution, in_channels=3, out_ch=3, ch=128,
+        ch_mult=(1, 1, 2, 2, 4, 4), num_res_blocks=2,
+        attn_resolutions=(16,))
+    return TaskConfig(
+        name=name, family="ddim", unet=unet,
+        beta_start=0.0001, beta_end=0.02,
+        sampler="generalized", steps=100, eta=0.0, skip_type="uniform")
+
+
+def ddim_lsun_bedroom() -> TaskConfig:
+    return _ddim_lsun("ddim_lsun_bedroom")
+
+
+def ddim_lsun_church() -> TaskConfig:
+    return _ddim_lsun("ddim_lsun_church")
+
+
+_LDM_VQ4_VAE = vae_mod.VAEConfig(
+    ch=128, out_ch=3, in_channels=3, z_channels=3, ch_mult=(1, 2, 4),
+    num_res_blocks=2, attn_resolutions=(), resolution=256,
+    double_z=False, embed_dim=3, vq=True, n_embed=8192)
+
+
+def celeba256() -> TaskConfig:
+    return TaskConfig(
+        name="celeba256", family="ldm", unet=ldm_unet.celeba_config(),
+        vae=_LDM_VQ4_VAE, beta_start=0.0015, beta_end=0.0195,
+        beta_schedule="linear", sampler="ddim", steps=200, eta=0.0,
+        cali_n=256, interval_length=10)
+
+
+def ffhq256() -> TaskConfig:
+    return TaskConfig(
+        name="ffhq256", family="ldm", unet=ldm_unet.celeba_config(),
+        vae=_LDM_VQ4_VAE, beta_start=0.0015, beta_end=0.0195,
+        sampler="ddim", steps=200, eta=1.0, cali_n=256,
+        interval_length=10)
+
+
+def lsun_beds256() -> TaskConfig:
+    return TaskConfig(
+        name="lsun_beds256", family="ldm",
+        unet=ldm_unet.lsun_beds_config(), vae=_LDM_VQ4_VAE,
+        beta_start=0.0015, beta_end=0.0195, sampler="ddim", steps=200,
+        eta=1.0, cali_n=256, interval_length=10)
+
+
+def lsun_churches256() -> TaskConfig:
+    kl_f8 = vae_mod.VAEConfig(
+        ch=128, out_ch=3, in_channels=3, z_channels=4,
+        ch_mult=(1, 2, 4, 4), num_res_blocks=2, attn_resolutions=(),
+        resolution=256, double_z=True, embed_dim=4, vq=False,
+        scale_factor=1.0)
+    return TaskConfig(
+        name="lsun_churches256", family="ldm",
+        unet=ldm_unet.lsun_churches_config(), vae=kl_f8,
+        beta_start=0.0015, beta_end=0.0155, sampler="ddim", steps=400,
+        eta=0.0, cali_n=256, interval_length=25)
+
+
+def cin256_v2() -> TaskConfig:
+    return TaskConfig(
+        name="cin256_v2", family="ldm", unet=ldm_unet.cin256_config(),
+        vae=dataclasses.replace(_LDM_VQ4_VAE, z_channels=3),
+        cond="class", beta_start=0.0015, beta_end=0.0195,
+        sampler="ddim", steps=20, eta=0.0, cfg_scale=3.0, cali_n=512,
+        interval_length=1, recon_batch=8, use_ema=False)
+
+
+def sd_v1_4() -> TaskConfig:
+    return TaskConfig(
+        name="sd_v1_4", family="ldm", unet=ldm_unet.sd_v1_config(),
+        vae=vae_mod.sd_vae_config(), cond="text",
+        beta_schedule="linear", beta_start=0.00085,
+        beta_end=0.012, sampler="plms", steps=50, eta=0.0,
+        cfg_scale=7.5, cali_n=256, interval_length=1, recon_batch=8,
+        use_ema=False, n_prompts=128)
+
+
+def tiny_ddim() -> TaskConfig:
+    """CPU-runnable CI config (BASELINE.json config 1 note)."""
+    return TaskConfig(
+        name="tiny_ddim", family="ddim", unet=ddim_unet.tiny_config(),
+        sampler="generalized", steps=5, eta=0.0, skip_type="uniform",
+        num_timesteps=100, cali_n=4, interval_length=1, recon_batch=4)
+
+
+def tiny_ldm() -> TaskConfig:
+    return TaskConfig(
+        name="tiny_ldm", family="ldm", unet=ldm_unet.tiny_ldm_config(),
+        vae=vae_mod.tiny_vae_config(), beta_start=0.0015,
+        beta_end=0.0195, sampler="ddim", steps=4, num_timesteps=100,
+        cali_n=4, interval_length=1, recon_batch=4, use_ema=False)
+
+
+def tiny_cin() -> TaskConfig:
+    return TaskConfig(
+        name="tiny_cin", family="ldm",
+        unet=ldm_unet.tiny_sd_config(context_dim=16),
+        vae=vae_mod.tiny_vae_config(), cond="class", beta_start=0.0015,
+        beta_end=0.0195, sampler="ddim", steps=4, cfg_scale=3.0,
+        num_timesteps=100, cali_n=4, interval_length=1, recon_batch=4,
+        use_ema=False)
+
+
+TASKS = {
+    "cifar10": cifar10,
+    "tiny_ddim": tiny_ddim,
+    "tiny_ldm": tiny_ldm,
+    "tiny_cin": tiny_cin,
+    "ddim_lsun_bedroom": ddim_lsun_bedroom,
+    "ddim_lsun_church": ddim_lsun_church,
+    "celeba256": celeba256,
+    "ffhq256": ffhq256,
+    "lsun_beds256": lsun_beds256,
+    "lsun_churches256": lsun_churches256,
+    "cin256_v2": cin256_v2,
+    "sd_v1_4": sd_v1_4,
+}
+
+
+def get_task(name: str) -> TaskConfig:
+    return TASKS[name]()
+
+
+def task_betas(task: TaskConfig):
+    """The DDPM beta schedule for a task. Note the two 'linear's differ:
+    the ddim family uses a plain linspace (ddim/runners/diffusion.py:51)
+    while ALL LDM-family models register LDM-'linear' = sqrt-spaced
+    (make_beta_schedule, diffusionmodules/util.py:21-25)."""
+    from ..samplers.ldm import make_beta_schedule
+    from ..utils.schedules import get_beta_schedule
+    if task.family == "ddim":
+        return get_beta_schedule(task.beta_schedule,
+                                 beta_start=task.beta_start,
+                                 beta_end=task.beta_end,
+                                 num_diffusion_timesteps=task.num_timesteps)
+    return make_beta_schedule(task.beta_schedule, task.num_timesteps,
+                              linear_start=task.beta_start,
+                              linear_end=task.beta_end)

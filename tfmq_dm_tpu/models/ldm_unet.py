@@ -77,19 +77,24 @@ def lsun_beds_config() -> LDMUNetConfig:
 
 
 def lsun_churches_config() -> LDMUNetConfig:
-    """LDM-8 LSUN-Churches (models/ldm/lsun_churches256/config.yaml)."""
+    """LDM-8 LSUN-Churches (models/ldm/lsun_churches256/config.yaml):
+    KL-f8, scale-shift norm, resblock up/down."""
     return LDMUNetConfig(image_size=32, in_channels=4, model_channels=192,
-                         out_channels=4, attention_resolutions=(8, 4, 2),
+                         out_channels=4,
+                         attention_resolutions=(1, 2, 4, 8),
                          channel_mult=(1, 2, 2, 4, 4), num_heads=8,
-                         use_scale_shift_norm=False, resblock_updown=False)
+                         use_scale_shift_norm=True, resblock_updown=True)
 
 
 def cin256_config() -> LDMUNetConfig:
-    """class-conditional ImageNet (cin256-v2)."""
+    """class-conditional ImageNet (configs/latent-diffusion/cin256-v2.yaml):
+    conditioning enters as cross-attention context from a ClassEmbedder
+    (n_classes=1001, embed_dim=512), NOT via label_emb."""
     return LDMUNetConfig(image_size=64, in_channels=3, model_channels=192,
                          out_channels=3, attention_resolutions=(8, 4, 2),
-                         channel_mult=(1, 2, 3, 5), num_head_channels=32,
-                         num_classes=1001)
+                         channel_mult=(1, 2, 3, 5), num_heads=1,
+                         use_spatial_transformer=True, transformer_depth=1,
+                         context_dim=512)
 
 
 def sd_v1_config() -> LDMUNetConfig:
@@ -135,6 +140,7 @@ class Sub:
     heads: int = 1
     d_head: int = 0
     depth: int = 0
+    updown: int = 0  # res blocks only: 0 none, 1 up, 2 down
 
 
 def _attn_heads(cfg: LDMUNetConfig, ch: int) -> Tuple[int, int]:
@@ -182,9 +188,12 @@ def build_structure(cfg: LDMUNetConfig):
             input_chans.append(ch)
             n += 1
         if level != len(cfg.channel_mult) - 1:
-            # resblock_updown unsupported by the quant path (no config
-            # in scope uses it); plain Downsample with conv 'op'
-            inputs.append((Sub("down", f"input_blocks.{n}.0", ch, ch),))
+            if cfg.resblock_updown:
+                inputs.append((Sub("res", f"input_blocks.{n}.0", ch, ch,
+                                   updown=2),))
+            else:
+                inputs.append((Sub("down", f"input_blocks.{n}.0", ch,
+                                   ch),))
             input_chans.append(ch)
             ds *= 2
             n += 1
@@ -203,8 +212,14 @@ def build_structure(cfg: LDMUNetConfig):
             if ds in cfg.attention_resolutions:
                 subs.append(_make_attn(cfg, f"output_blocks.{n}.1", ch))
             if level and i == cfg.num_res_blocks:
-                subs.append(Sub("up", f"output_blocks.{n}.{len(subs)}",
-                                ch, ch))
+                if cfg.resblock_updown:
+                    subs.append(Sub("res",
+                                    f"output_blocks.{n}.{len(subs)}",
+                                    ch, ch, updown=1))
+                else:
+                    subs.append(Sub("up",
+                                    f"output_blocks.{n}.{len(subs)}",
+                                    ch, ch))
                 ds //= 2
             outputs.append(tuple(subs))
             n += 1
@@ -335,6 +350,12 @@ def _res_forward(params, cfg, s: Sub, x, emb_out, qctx):
         qctx.tap(s.prefix, "in", (x, emb_out))
     h = _norm(params[f"{s.prefix}.in_layers.0"], x)
     h = fnn.swish(h)
+    if s.updown == 1:      # up: interpolate h and x (no conv),
+        h = fnn.nearest_upsample_2x(h)       # openaimodel.py:255-261
+        x = fnn.nearest_upsample_2x(x)
+    elif s.updown == 2:    # down: 2x2 avg-pool h and x
+        h = fnn.avg_pool_2x(h)
+        x = fnn.avg_pool_2x(x)
     h = qfunc.qconv2d(qctx, f"{s.prefix}.in_layers.2", h,
                       params[f"{s.prefix}.in_layers.2"])
     if cfg.use_scale_shift_norm:

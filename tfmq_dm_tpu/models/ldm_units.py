@@ -83,10 +83,17 @@ def unit_fwd(kind: str, role_cfgs: tuple, extra: tuple, uparams: Dict,
 
 def _res_fwd(role_cfgs, extra, uparams, wstate, astate, inputs, soft_on,
              use_aq):
-    (use_scale_shift,) = extra
+    use_scale_shift, updown = (extra if len(extra) == 2
+                               else (extra[0], 0))
     x, emb_out = inputs
     h = _norm(uparams["in0"], x)
     h = fnn.swish(h)
+    if updown == 1:
+        h = fnn.nearest_upsample_2x(h)
+        x = fnn.nearest_upsample_2x(x)
+    elif updown == 2:
+        h = fnn.avg_pool_2x(h)
+        x = fnn.avg_pool_2x(x)
     h = _qconv(h, uparams, wstate, astate, _rc(role_cfgs, "in2"), soft_on,
                use_aq)
     if use_scale_shift:
@@ -266,7 +273,7 @@ def _subs_to_units(cfg, s: ldm_unet.Sub, use_aq: bool):
                        (("in2", "in_layers.2"), ("emb", "emb_layers.1"),
                         ("out3", "out_layers.3")))
         return [UnitSpec(name=s.prefix, kind="res_ldm", layers=layers,
-                         extra=(cfg.use_scale_shift_norm,))]
+                         extra=(cfg.use_scale_shift_norm, s.updown))]
     if s.kind == "attn":
         layers = (("qkv", f"{s.prefix}.qkv"),
                   ("proj_out", f"{s.prefix}.proj_out"))

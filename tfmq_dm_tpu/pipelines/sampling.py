@@ -1,0 +1,79 @@
+"""FID sampling loop: batched quantized sampling -> decode -> PNG + npz.
+
+Replaces the reference's per-entry sampling loops (sample_fid,
+ddim/runners/diffusion.py:326-364; run(), sample_diffusion_ldm.py:116-189
+with its throughput log :148-150; txt2img.py:531-598): jitted sampler
+scans, per-batch throughput logging, PNG + npz dumps for the external
+FID/IS tooling (README.md:132 protocol).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.tasks import TaskConfig
+from ..models import vae as vae_mod
+
+logger = logging.getLogger(__name__)
+
+
+def inverse_data_transform(x: jax.Array) -> jax.Array:
+    """[-1,1] -> [0,1] (ddim/datasets/__init__.py:195-215 'rescaled')."""
+    return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+
+def save_images(images: np.ndarray, out_dir: str, start: int) -> None:
+    from PIL import Image
+    os.makedirs(out_dir, exist_ok=True)
+    arr = (np.asarray(images) * 255.0).round().astype(np.uint8)
+    for i, im in enumerate(arr):
+        Image.fromarray(im).save(os.path.join(out_dir,
+                                              f"{start + i:05d}.png"))
+
+
+def sample_fid(task: TaskConfig, sampler_fn: Callable, model_fn: Callable,
+               *, n_images: int, batch_size: int, key: jax.Array,
+               out_dir: Optional[str] = None,
+               vae_params: Optional[dict] = None,
+               npz_path: Optional[str] = None) -> np.ndarray:
+    """Generate ``n_images`` with the given jitted sampler; returns the
+    (N,H,W,C) uint8-convertible array in [0,1] and optionally writes
+    PNGs + a single npz (the reference's FID evaluation protocol)."""
+    shape = (task.unet.resolution if task.family == "ddim"
+             else task.unet.image_size)
+    cin = task.unet.in_channels
+
+    run = jax.jit(lambda x, k: sampler_fn(model_fn, x, k))
+    if vae_params is not None:
+        decode = jax.jit(lambda z: vae_mod.decode(vae_params, task.vae, z))
+    all_imgs = []
+    done = 0
+    while done < n_images:
+        b = min(batch_size, n_images - done)
+        key, k1, k2 = jax.random.split(key, 3)
+        x0 = jax.random.normal(k1, (batch_size, shape, shape, cin))
+        t0 = time.perf_counter()
+        out = run(x0, k2)
+        if vae_params is not None:
+            out = decode(out)
+        out = inverse_data_transform(out)
+        out = np.asarray(out[:b])
+        dt = time.perf_counter() - t0
+        logger.info("batch %d: %.2f imgs/s (throughput)", done // batch_size,
+                    b / dt)
+        if out_dir:
+            save_images(out, out_dir, done)
+        all_imgs.append(out)
+        done += b
+    imgs = np.concatenate(all_imgs)[:n_images]
+    if npz_path:
+        np.savez(npz_path, arr_0=(imgs * 255).round().astype(np.uint8))
+        logger.info("npz written to %s", npz_path)
+    return imgs

@@ -60,6 +60,32 @@ def convert_state_dict(torch_sd: Mapping[str, "object"],
     return params
 
 
+def export_state_dict(params: Dict[str, dict],
+                      layer_iter) -> Dict[str, np.ndarray]:
+    """Exact inverse of convert_state_dict (kind-aware)."""
+    out: Dict[str, np.ndarray] = {}
+    for kind, name, shape in layer_iter:
+        p = params[name]
+        if kind in ("norm", "lnorm"):
+            out[f"{name}.weight"] = np.asarray(p["scale"])
+            out[f"{name}.bias"] = np.asarray(p["bias"])
+            continue
+        if kind == "embed":
+            out[f"{name}.weight"] = np.asarray(p["w"])
+            continue
+        w = np.asarray(p["w"])
+        if kind == "conv1d":
+            w = w.T[:, :, None]
+        elif kind.startswith("linear"):
+            w = w.T
+        else:
+            w = w.transpose(3, 2, 0, 1)
+        out[f"{name}.weight"] = w
+        if "b" in p:
+            out[f"{name}.bias"] = np.asarray(p["b"])
+    return out
+
+
 def params_to_torch_names(params: Dict[str, dict]) -> Dict[str, np.ndarray]:
     """Inverse relabel (for exporting / cross-checking)."""
     out = {}
