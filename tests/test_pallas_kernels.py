@@ -1,0 +1,85 @@
+"""Pallas kernel numerics (interpret mode on CPU): the fused kernels must
+match the XLA integer ops (which are themselves bit-checked against
+fake-quant in test_int_ops.py)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfmq_dm_tpu.ops import int_ops, pallas_kernels as pk
+from tfmq_dm_tpu.quant.quantizer import QCfg, init_qparams
+
+W8 = QCfg(bits=8, symmetric=False, channel_wise=True)
+W4 = QCfg(bits=4, symmetric=False, channel_wise=True)
+A8 = QCfg(bits=8, symmetric=False, channel_wise=False)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    # run Pallas in interpreter mode on CPU
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    yield
+
+
+def _mk(m=64, k=128, n=256, key=0):
+    kx, kw, kb = jax.random.split(jax.random.PRNGKey(key), 3)
+    x = jax.random.normal(kx, (m, k))
+    w = jax.random.normal(kw, (k, n)) * 0.3
+    b = jax.random.normal(kb, (n,))
+    return x, w, b
+
+
+def test_int8_matmul_fused_matches_int_ops():
+    x, w, b = _mk()
+    dw, zw = init_qparams(w, W8, scaler="minmax")
+    dx, zx = init_qparams(x, A8, scaler="minmax")
+    iw = int_ops.quantize_weight_int(w, dw, zw, W8)
+    x_q, zp_xc = int_ops.quantize_act_int8(x, dx, zx, A8)
+    ref = int_ops.int8_linear(x_q, zp_xc, dx, iw, b)
+    got = pk.int8_matmul_fused(x, iw.w_q, iw.delta, iw.zp_c, iw.wsum,
+                               dx, zp_xc, b, block_m=32, block_n=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_int8_matmul_fused_odd_shapes():
+    x, w, b = _mk(m=33, k=128, n=128, key=1)
+    dw, zw = init_qparams(w, W8, scaler="minmax")
+    dx, zx = init_qparams(x, A8, scaler="minmax")
+    iw = int_ops.quantize_weight_int(w, dw, zw, W8)
+    x_q, zp_xc = int_ops.quantize_act_int8(x, dx, zx, A8)
+    ref = int_ops.int8_linear(x_q, zp_xc, dx, iw, b)
+    got = pk.int8_matmul_fused(x, iw.w_q, iw.delta, iw.zp_c, iw.wsum,
+                               dx, zp_xc, b, block_m=32, block_n=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_pack_unpack_int4_roundtrip():
+    rng = np.random.RandomState(0)
+    w = rng.randint(-8, 8, (16, 32)).astype(np.int8)
+    packed = pk.pack_int4(w, block_n=32)
+    assert packed.shape == (16, 16)
+    un = np.asarray(pk._unpack_int4(jnp.asarray(packed)))
+    np.testing.assert_array_equal(un, w)
+
+
+def test_int4_matmul_dequant_matches_reference():
+    x, w, b = _mk(m=32, k=128, n=128, key=2)
+    dw, zw = init_qparams(w, W4, scaler="minmax")
+    iw = int_ops.quantize_weight_int(w, dw, zw, W4)
+    # bf16 reference on the dequantized weights (kernel computes bf16)
+    w_dq = int_ops.dequant_weight(iw)
+    ref = x.astype(jnp.bfloat16) @ w_dq.astype(jnp.bfloat16) + b
+    packed = pk.pack_int4(np.asarray(iw.w_q), block_n=128)
+    got = pk.int4_matmul_dequant(x, packed, iw.delta, iw.zp_c, b,
+                                 block_m=32, block_n=128)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ref, np.float32),
+                               atol=0.15, rtol=0.02)

@@ -1,0 +1,232 @@
+"""Pallas (Mosaic) TPU kernels for the quantized hot ops.
+
+The reference has zero native code — its "int kernels" are deferred to
+OpenVINO (README.md:132). Here the deployment path gets real fused
+kernels:
+
+- :func:`int8_matmul_fused` — quantize(x) -> int8 MXU dot -> zero-point
+  corrections -> dequant epilogue, one VMEM round-trip (the XLA int path
+  in ops/int_ops.py materializes the int8 activation tensor in HBM);
+- :func:`int4_matmul_dequant` — weight-only int4: weights live PACKED
+  (2 nibbles/byte) in HBM, halving weight bandwidth vs int8; unpack +
+  dequant to bf16 in VMEM, then MXU dot. For bandwidth-bound layers
+  (big linears at small batch) this is the speed-of-light path.
+- :func:`pack_int4` / companion quantizers for offline weight prep.
+
+All kernels are exact vs the fake-quant semantics (tests compare against
+ops/int_ops.py which is itself bit-checked against fake-quant).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# fused int8 matmul: quantize + dot + zp-correct + dequant
+# ---------------------------------------------------------------------------
+
+def _int8_mm_kernel(sc_ref, x_ref, wq_ref, dly_ref, zpc_ref, wsum_ref,
+                    b_ref, o_ref, acc_ref, xsum_ref):
+    """K-blocked (bm, bn) output tile with int32 MXU accumulation in
+    VMEM scratch; corrections + dequant epilogue at the last k step.
+
+    sc_ref (SMEM): [dx, zp_xc, k_red] scalars.
+    """
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        xsum_ref[:] = jnp.zeros_like(xsum_ref)
+
+    dx = sc_ref[0]
+    zp_xc = sc_ref[1]
+    x = x_ref[:]                                   # (bm, bk) f32
+    # per-tensor act quantization to centered int8
+    x_q = jnp.clip(jnp.round(x / dx) + (zp_xc + 128.0), 0.0, 255.0) - 128.0
+    x_q8 = x_q.astype(jnp.int8)
+    acc_ref[:] += jax.lax.dot_general(
+        x_q8, wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    xsum_ref[:] += jnp.sum(x_q, axis=1, keepdims=True)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        k_red = sc_ref[2]
+        zpc = zpc_ref[:]                           # (1, bn)
+        wsum = wsum_ref[:]                         # (1, bn)
+        corr = (acc_ref[:] - zpc * xsum_ref[:] - zp_xc * wsum
+                + k_red * zp_xc * zpc)
+        o_ref[:] = (dx * dly_ref[:]) * corr + b_ref[:]
+
+
+def int8_matmul_fused(x: jax.Array, w_q: jax.Array, delta_w: jax.Array,
+                      zp_wc: jax.Array, wsum: jax.Array, dx, zp_xc,
+                      bias: Optional[jax.Array] = None,
+                      block_m: int = 256, block_n: int = 256,
+                      block_k: int = 512,
+                      out_dtype=jnp.float32) -> jax.Array:
+    """x: (M, K) float; w_q: (K, N) centered int8; per-channel
+    delta_w/zp_wc/wsum: (N,); scalar act (dx, zp_xc). Exact int8 GEMM with
+    asymmetric zero-point corrections (same algebra as
+    int_ops.int8_linear)."""
+    m, k = x.shape
+    n = w_q.shape[1]
+    bm = min(block_m, m)
+    bn = min(block_n, n)
+    bk = min(block_k, k)
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    scalars = jnp.stack([jnp.asarray(dx, jnp.float32),
+                         jnp.asarray(zp_xc, jnp.float32),
+                         jnp.float32(k)])
+    grid = (_cdiv(m, bm), _cdiv(n, bn), _cdiv(k, bk))
+    out = pl.pallas_call(
+        _int8_mm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 4 + k * n + m * n * 4,
+            transcendentals=0),
+    )(scalars, x.astype(jnp.float32), w_q,
+      delta_w.reshape(1, n).astype(jnp.float32),
+      zp_wc.reshape(1, n).astype(jnp.float32),
+      wsum.reshape(1, n).astype(jnp.float32),
+      bias.reshape(1, n).astype(jnp.float32))
+    return out.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# int4 weight-only matmul: packed weights, dequant-to-bf16 in VMEM
+# ---------------------------------------------------------------------------
+
+def pack_int4(w_q: np.ndarray, block_n: int = 256) -> jax.Array:
+    """Pack centered int4 values in [-8, 7], shape (K, N), into int8
+    bytes (K, N//2), tile-blocked so the in-kernel unpack is a
+    lane-contiguous CONCAT (Mosaic rejects interleaving reshapes):
+    within each ``block_n``-column tile, byte column c holds tile column
+    c (low nibble) and tile column c + block_n/2 (high nibble)."""
+    w = np.asarray(w_q, np.int8)
+    k, n = w.shape
+    bn = min(block_n, n)
+    assert n % bn == 0 and bn % 2 == 0
+    out = np.empty((k, n // 2), np.uint8)
+    half = bn // 2
+    for j in range(n // bn):
+        tile = w[:, j * bn:(j + 1) * bn]
+        lo = (tile[:, :half] & 0xF).astype(np.uint8)
+        hi = (tile[:, half:] & 0xF).astype(np.uint8)
+        out[:, j * half:(j + 1) * half] = lo | (hi << 4)
+    return jnp.asarray(out.astype(np.int8))
+
+
+def _unpack_int4(packed):
+    """(K, bn//2) int8 tile -> (K, bn) int8: [low-nibble cols,
+    high-nibble cols] concatenated (matches pack_int4's tile layout)."""
+    p = packed
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(p, jnp.int8(4)), jnp.int8(4))
+    hi = jax.lax.shift_right_arithmetic(p, jnp.int8(4))
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _int4_mm_kernel(x_ref, wp_ref, dly_ref, zpc_ref, b_ref, o_ref,
+                    acc_ref):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wq = _unpack_int4(wp_ref[:]).astype(jnp.bfloat16)
+    w = (wq - zpc_ref[:].astype(jnp.bfloat16)) \
+        * dly_ref[:].astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:].astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:] + b_ref[:]
+
+
+def int4_matmul_dequant(x: jax.Array, w_packed: jax.Array,
+                        delta_w: jax.Array, zp_wc: jax.Array,
+                        bias: Optional[jax.Array] = None,
+                        block_m: int = 256, block_n: int = 256,
+                        block_k: int = 512,
+                        out_dtype=jnp.float32) -> jax.Array:
+    """Weight-only int4 GEMM: x (M, K) x packed w (K, N//2) -> (M, N).
+    Weights stay packed in HBM; dequant to bf16 happens in VMEM per tile
+    (w_dq = delta * (w_q4 - zp_wc), zp_wc = zp - 8 centered).
+    ``w_packed`` must come from pack_int4(..., block_n=<same block_n>).
+    """
+    m, k = x.shape
+    n = w_packed.shape[1] * 2
+    bm = min(block_m, m)
+    bn = min(block_n, n)
+    bk = min(block_k, k)
+    assert bn % 2 == 0
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    grid = (_cdiv(m, bm), _cdiv(n, bn), _cdiv(k, bk))
+    out = pl.pallas_call(
+        _int4_mm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn // 2), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 4 + k * n // 2 + m * n * 4,
+            transcendentals=0),
+    )(x.astype(jnp.float32), w_packed,
+      delta_w.reshape(1, n).astype(jnp.float32),
+      zp_wc.reshape(1, n).astype(jnp.float32),
+      bias.reshape(1, n).astype(jnp.float32))
+    return out.astype(out_dtype)

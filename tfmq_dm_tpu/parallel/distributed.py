@@ -1,0 +1,50 @@
+"""Multi-host initialization + process-0 helpers.
+
+TPU-native replacement for the linklink NCCL/SLURM bootstrap
+(/root/reference/linklink/__init__.py:21-59, dist_helper.py:60-87):
+`jax.distributed.initialize` discovers the cluster (GKE/GCE metadata or
+coordinator env vars), ICI/DCN collectives are inserted by XLA from
+shardings, and "rank 0" becomes `jax.process_index() == 0`.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Idempotent multi-host init. On single-host (or when already
+    initialized) this is a no-op."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+        logger.info("jax.distributed initialized: process %d/%d, %d "
+                    "local devices", jax.process_index(),
+                    jax.process_count(), jax.local_device_count())
+    except (ValueError, RuntimeError) as e:  # single-host / already init
+        logger.debug("distributed init skipped: %s", e)
+
+
+def is_main_process() -> bool:
+    """The reference's rank-0 checks (linklink/log_helper.py:40-48,
+    rank-0 checkpoint writes)."""
+    return jax.process_index() == 0
+
+
+def main_process_only(fn):
+    """Decorator: run only on process 0 (checkpoint writes, logging)."""
+    def wrapper(*args, **kwargs):
+        if is_main_process():
+            return fn(*args, **kwargs)
+        return None
+    return wrapper
