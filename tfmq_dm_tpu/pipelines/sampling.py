@@ -30,12 +30,10 @@ def inverse_data_transform(x: jax.Array) -> jax.Array:
 
 
 def save_images(images: np.ndarray, out_dir: str, start: int) -> None:
-    from PIL import Image
+    from ..native import write_png_batch
     os.makedirs(out_dir, exist_ok=True)
     arr = (np.asarray(images) * 255.0).round().astype(np.uint8)
-    for i, im in enumerate(arr):
-        Image.fromarray(im).save(os.path.join(out_dir,
-                                              f"{start + i:05d}.png"))
+    write_png_batch(arr, out_dir, start)
 
 
 def sample_fid(task: TaskConfig, sampler_fn: Callable, model_fn: Callable,
