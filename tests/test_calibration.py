@@ -184,3 +184,32 @@ def test_cali_model_end_to_end_and_artifact_roundtrip(setup):
                                jax.random.normal(jax.random.PRNGKey(8),
                                                  (1, 16, 16, 3)))
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_fisher_reconstruction(setup):
+    """FISHER_DIAG recon path: grads captured via output-override KL
+    (GetLayerGrad semantics) and the weighted loss decreases."""
+    params, adapter, w_cali, _ = setup
+    wstate = recon.init_weight_qparams(adapter.policy, params,
+                                       scaler="minmax")
+    unit = adapter.unit_by_name("mid.block_1")
+    fg = recon.capture_unit_grads(adapter, unit, params, w_cali, wstate,
+                                  batch_size=16)
+    assert fg.shape == ctx_shape_of(w_cali, unit, adapter, params, wstate)
+    assert float(fg.min()) >= 1.0  # |g| + 1
+    hp = recon.ReconHP(iters=30, batch_size=8, rloss="fisher_diag")
+    inputs, outputs = recon.capture_unit_io(adapter, unit, params, w_cali,
+                                            wstate, asym=True)
+    new_wstate, losses = recon.reconstruct_unit(
+        adapter, unit, params, wstate, inputs, outputs, hp,
+        jax.random.PRNGKey(11), fgrads=fg)
+    assert "alpha" in new_wstate["mid.block_1.conv1"]
+    assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def ctx_shape_of(w_cali, unit, adapter, params, wstate):
+    from tfmq_dm_tpu.quant.context import QuantCtx
+    ctx = QuantCtx(adapter.policy, capture=frozenset({unit.name}))
+    adapter.forward(params, ctx, *(x[:1] for x in w_cali))
+    out = ctx.tape[f"{unit.name}::out"]
+    return (w_cali[0].shape[0],) + out.shape[1:]

@@ -246,7 +246,7 @@ def _resnet(params, cfg, prefix: str, x, temb, silu_temb,
         x = fnn.conv2d(x, sc["w"], sc["b"], stride=1, padding="VALID")
     out = x + h
     if qctx is not None:
-        qctx.tap(prefix, "out", out)
+        out = qctx.tap(prefix, "out", out)
     return out
 
 
@@ -282,7 +282,7 @@ def _attn(params, prefix: str, x, qctx: Optional[QuantCtx]):
                        params[f"{prefix}.proj_out"], padding="VALID")
     out = x + h_
     if qctx is not None:
-        qctx.tap(prefix, "out", out)
+        out = qctx.tap(prefix, "out", out)
     return out
 
 
@@ -303,7 +303,7 @@ def _upsample(params, prefix, x, cfg, qctx):
             qctx.tap(name, "in", (x,))
         x = qfunc.qconv2d(qctx, name, x, params[name])
         if qctx is not None:
-            qctx.tap(name, "out", x)
+            x = qctx.tap(name, "out", x)
     return x
 
 

@@ -373,7 +373,7 @@ def _res_forward(params, cfg, s: Sub, x, emb_out, qctx):
         x = fnn.conv2d(x, sc["w"], sc.get("b"), padding="VALID")
     out = x + h
     if qctx is not None:
-        qctx.tap(s.prefix, "out", out)
+        out = qctx.tap(s.prefix, "out", out)
     return out
 
 
@@ -416,7 +416,7 @@ def _attn_forward(params, s: Sub, x, qctx):
                        params[f"{s.prefix}.proj_out"])
     out = (xs + h_).reshape(b, hh, ww, c)
     if qctx is not None:
-        qctx.tap(s.prefix, "out", out)
+        out = qctx.tap(s.prefix, "out", out)
     return out
 
 
@@ -468,7 +468,7 @@ def _transformer_block(params, prefix: str, x, context, heads, d_head,
                       params[f"{prefix}.ff.net.2"])
     x = h + x
     if qctx is not None:
-        qctx.tap(prefix, "out", x)
+        x = qctx.tap(prefix, "out", x)
     return x
 
 
@@ -482,7 +482,7 @@ def _strans_forward(params, s: Sub, x, context, qctx):
         qctx.tap(name_in, "in", (h,))
     h = qfunc.qconv2d(qctx, name_in, h, params[name_in], padding="VALID")
     if qctx is not None:
-        qctx.tap(name_in, "out", h)
+        h = qctx.tap(name_in, "out", h)
     inner = s.heads * s.d_head
     h = h.reshape(b, hh * ww, inner)
     for d in range(s.depth):
@@ -494,7 +494,7 @@ def _strans_forward(params, s: Sub, x, context, qctx):
         qctx.tap(name_out, "in", (h,))
     h = qfunc.qconv2d(qctx, name_out, h, params[name_out], padding="VALID")
     if qctx is not None:
-        qctx.tap(name_out, "out", h)
+        h = qctx.tap(name_out, "out", h)
     return h + x_in
 
 
@@ -511,7 +511,7 @@ def _upsample(params, s: Sub, x, qctx):
         qctx.tap(name, "in", (x,))
     x = qfunc.qconv2d(qctx, name, x, params[name])
     if qctx is not None:
-        qctx.tap(name, "out", x)
+        x = qctx.tap(name, "out", x)
     return x
 
 
@@ -560,7 +560,7 @@ def apply(params: Dict[str, dict], cfg: LDMUNetConfig, x: jax.Array,
                 qctx.tap(s.prefix, "in", (h,))
             h = qfunc.qconv2d(qctx, s.prefix, h, params[s.prefix])
             if qctx is not None:
-                qctx.tap(s.prefix, "out", h)
+                h = qctx.tap(s.prefix, "out", h)
             return h
         if s.kind == "res":
             eo = res_emb_out(params, cfg, s.prefix, silu_emb, qctx)

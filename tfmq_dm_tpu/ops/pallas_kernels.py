@@ -153,12 +153,14 @@ def pack_int4(w_q: np.ndarray, block_n: int = 256) -> jax.Array:
 
 
 def _unpack_int4(packed):
-    """(K, bn//2) int8 tile -> (K, bn) int8: [low-nibble cols,
-    high-nibble cols] concatenated (matches pack_int4's tile layout)."""
-    p = packed
-    lo = jax.lax.shift_right_arithmetic(
-        jax.lax.shift_left(p, jnp.int8(4)), jnp.int8(4))
-    hi = jax.lax.shift_right_arithmetic(p, jnp.int8(4))
+    """(K, bn//2) int8 tile -> (K, bn) int32: [low-nibble cols,
+    high-nibble cols] concatenated (matches pack_int4's tile layout).
+    Mosaic has no int8 vector shifts — decode in int32: the byte is
+    lo_bits + 16*hi_signed, so hi = byte >> 4 (arithmetic) and
+    lo = sign_extend_4(byte & 15) via the xor-8-minus-8 trick."""
+    p32 = packed.astype(jnp.int32)
+    lo = ((p32 & 15) ^ 8) - 8
+    hi = jax.lax.shift_right_arithmetic(p32, 4)
     return jnp.concatenate([lo, hi], axis=1)
 
 

@@ -49,7 +49,8 @@ class QuantCtx:
                  ema_momentum: float = 0.95,
                  unit_of: Optional[Dict[str, str]] = None,
                  deploy: Optional[dict] = None,
-                 act_out_dtype=None):
+                 act_out_dtype=None,
+                 override: Optional[dict] = None):
         self.policy = policy
         self.wstate = wstate or {}
         self.astate = astate or {}
@@ -70,6 +71,8 @@ class QuantCtx:
         # ops instead of fake-quant + fp conv (quant/deploy.py)
         self.deploy = deploy
         self.act_out_dtype = act_out_dtype
+        # {unit: value} — substitute a unit's output (Fisher grads)
+        self.override = override
 
     # ---------------- weight path ----------------
 
@@ -126,11 +129,19 @@ class QuantCtx:
 
     # ---------------- capture tape ----------------
 
-    def tap(self, unit: str, tag: str, value) -> None:
-        if self.capture is None:
-            return
-        if "*" in self.capture or unit in self.capture:
+    def tap(self, unit: str, tag: str, value):
+        """Record a unit-boundary value; for "out" tags, an entry in
+        ``override`` replaces the unit's output in the live dataflow
+        (used for Fisher grad capture: d loss / d block_out, replacing
+        the backward hooks of data_utill.py:172-256). Returns the value
+        that should flow onward."""
+        if self.override is not None and tag == "out" and \
+                unit in self.override:
+            value = self.override[unit]
+        if self.capture is not None and \
+                ("*" in self.capture or unit in self.capture):
             self.tape[f"{unit}::{tag}"] = value
+        return value
 
 
 def null_ctx(policy: QuantPolicy) -> QuantCtx:

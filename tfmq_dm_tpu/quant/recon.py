@@ -51,6 +51,8 @@ class ReconHP:
     p: float = 2.0
     asym: bool = True
     use_aq: bool = False
+    rloss: str = "mse"       # mse | fisher_diag | fisher_full
+    # (RLOSS enum, reconstruction_util.py:10; entry flows use mse)
 
 
 def init_weight_qparams(policy, params, scaler: str = "mse") -> Dict:
@@ -122,6 +124,58 @@ def capture_unit_io(adapter: ModelAdapter, unit: UnitSpec, params,
     return inputs, outputs
 
 
+@functools.partial(jax.jit, static_argnames=("adapter", "unit_name",
+                                             "use_aq"))
+def _grad_batch(adapter: ModelAdapter, unit_name: str, use_aq: bool,
+                params, wstate_sub, astate, batch):
+    """d KL(softmax(fp) || softmax(quant)) / d unit_output, with the model
+    quantized up to and including the unit (GetLayerGrad,
+    data_utill.py:191-256). The unit output is substituted via the
+    QuantCtx override instead of a backward hook."""
+    ctx_cap = QuantCtx(adapter.policy, wstate=wstate_sub, astate=astate,
+                       use_wq=True, use_aq=use_aq,
+                       capture=frozenset({unit_name}))
+    adapter.forward(params, ctx_cap, *batch)
+    u_out0 = ctx_cap.tape[f"{unit_name}::out"]
+    out_fp = adapter.forward(params, None, *batch)
+    p_fp = jax.nn.softmax(out_fp, axis=-1)
+    log_pfp = jax.nn.log_softmax(out_fp, axis=-1)
+
+    def loss(u_out):
+        ctx = QuantCtx(adapter.policy, wstate=wstate_sub, astate=astate,
+                       use_wq=True, use_aq=use_aq,
+                       override={unit_name: u_out})
+        out_q = adapter.forward(params, ctx, *batch)
+        log_q = jax.nn.log_softmax(out_q, axis=-1)
+        # F.kl_div(log_q, p_fp, reduction='batchmean')
+        return jnp.sum(p_fp * (log_pfp - log_q)) / out_q.shape[0]
+
+    return jax.grad(loss)(u_out0)
+
+
+def capture_unit_grads(adapter: ModelAdapter, unit: UnitSpec, params,
+                       cali_data, wstate, astate=None, *,
+                       use_aq: bool = False, batch_size: int = 32):
+    """save_grad (data_utill.py:54-74): cached |grad| + 1 over the cali
+    set, for the FISHER reconstruction losses."""
+    order = [u.name for u in adapter.units]
+    upto = set()
+    for name in order:
+        u = adapter.unit_by_name(name)
+        upto.update(full for _, full in u.layers)
+        if name == unit.name:
+            break
+    wstate_sub = {k: v for k, v in wstate.items() if k in upto}
+    astate = astate or {}
+    n = cali_data[0].shape[0]
+    gs = []
+    for i in range(0, n, batch_size):
+        batch = tuple(x[i:i + batch_size] for x in cali_data)
+        gs.append(_grad_batch(adapter, unit.name, use_aq, params,
+                              wstate_sub, astate, batch))
+    return jnp.abs(jnp.concatenate(gs)) + 1.0
+
+
 # ---------------------------------------------------------------------------
 # Scanned reconstruction loop
 # ---------------------------------------------------------------------------
@@ -134,7 +188,17 @@ def _merge_alpha(wstate_roles, alphas):
     return merged
 
 
-def _rec_loss(pred, tgt, p):
+def _rec_loss(pred, tgt, p, rloss="mse", grads=None):
+    """LossFunc rec term (reconstruction_util.py:51-61): Lp summed over
+    channel / FISHER_DIAG / FISHER_FULL weighted by cached |grad|+1."""
+    if rloss == "fisher_diag":
+        return jnp.mean(jnp.sum((pred - tgt) ** 2 * grads ** 2, axis=-1))
+    if rloss == "fisher_full":
+        a = jnp.abs(pred - tgt)
+        g = jnp.abs(grads)
+        bd = jnp.sum(a * g, axis=tuple(range(1, a.ndim)),
+                     keepdims=True)
+        return jnp.mean(bd * a * g) / 100.0
     ls = [lp_loss(a, b, p=p) for a, b in
           zip(jax.tree.leaves(pred), jax.tree.leaves(tgt))]
     return functools.reduce(jnp.add, ls)
@@ -145,21 +209,22 @@ def _rec_loss(pred, tgt, p):
     static_argnames=("unit_fwd", "kind", "role_cfgs", "extra", "hp"))
 def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
                hp: ReconHP, uparams, wstate_fixed, alphas, inputs,
-               outputs, key):
+               outputs, key, fgrads=None):
     """The full weight-phase optimization for one unit: scan of
     {minibatch -> forward(soft) -> loss -> Adam} (reconstruction.py:63-78,
-    182-198, 290-303). Returns (trained alphas, per-iter losses)."""
+    182-198, 290-303). ``fgrads``: cached Fisher grads (|g|+1) when
+    hp.rloss != mse. Returns (trained alphas, per-iter losses)."""
     opt = optax.adam(hp.lr_alpha)
     opt_state = opt.init(alphas)
     n = jax.tree.leaves(inputs)[0].shape[0]
     bs = min(hp.batch_size, n)
     loss_start = hp.warmup * hp.iters
 
-    def loss_fn(a, binp, bout, count):
+    def loss_fn(a, binp, bout, bg, count):
         wstate = _merge_alpha(wstate_fixed, a)
         pred = unit_fwd(kind, role_cfgs, extra, uparams, wstate, {},
                         binp, True, hp.use_aq)
-        rec = _rec_loss(pred, bout, hp.p)
+        rec = _rec_loss(pred, bout, hp.p, hp.rloss, bg)
         b = linear_temp_decay(count, hp.iters, hp.warmup, hp.b_start,
                               hp.b_end)
         reg = functools.reduce(
@@ -173,8 +238,9 @@ def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
         idx = jax.random.permutation(k1, n)[:bs]
         binp = jax.tree.map(lambda x: x[idx], inputs)
         bout = jax.tree.map(lambda x: x[idx], outputs)
+        bg = None if fgrads is None else fgrads[idx]
         (loss, rec), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            a, binp, bout, i + 1.0)
+            a, binp, bout, bg, i + 1.0)
         updates, ost = opt.update(grads, ost)
         a = optax.apply_updates(a, updates)
         return (a, ost, k), rec
@@ -185,7 +251,8 @@ def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
 
 
 def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
-                     wstate, inputs, outputs, hp: ReconHP, key):
+                     wstate, inputs, outputs, hp: ReconHP, key,
+                     fgrads=None):
     """Run weight-phase reconstruction for one unit; returns updated
     wstate (alphas written back under full layer names) and the loss
     trace."""
@@ -211,7 +278,7 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
 
     alphas, losses = _recon_run(adapter.unit_fwd, unit.kind, role_cfgs,
                                 unit.extra, hp, uparams, fixed, alphas,
-                                inputs, outputs, key)
+                                inputs, outputs, key, fgrads)
     new_wstate = dict(wstate)
     for role, full in unit.layers:
         if role in alphas:
@@ -235,9 +302,14 @@ def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
             adapter, unit, params, cali_data, wstate,
             asym=hp.asym, use_aq=hp.use_aq,
             batch_size=capture_batch_size)
+        fgrads = None
+        if hp.rloss != "mse" and not unit.kind.startswith("tib"):
+            fgrads = capture_unit_grads(adapter, unit, params, cali_data,
+                                        wstate, use_aq=hp.use_aq,
+                                        batch_size=capture_batch_size)
         key, k = jax.random.split(key)
         wstate, losses = reconstruct_unit(adapter, unit, params, wstate,
-                                          inputs, outputs, hp, k)
+                                          inputs, outputs, hp, k, fgrads)
         if log is not None and losses is not None:
             log(unit.name, losses)
     return wstate
