@@ -49,12 +49,12 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (b, 32, 32, 3))
     t = jnp.full((b,), 500, jnp.int32)
 
-    # bf16 FP baseline
+    # bf16 FP baseline (params cross jit as ARGUMENTS — closures embed
+    # them as program constants and bloat the compile payload)
     params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    fp_fn = jax.jit(lambda x, t: ddim_unet.apply(params_bf16, cfg,
-                                                 x.astype(jnp.bfloat16), t)
-                    .astype(jnp.float32))
-    fp_tp = _throughput(fp_fn, x, t, b)
+    fp_jit = jax.jit(lambda p, x, t: ddim_unet.apply(
+        p, cfg, x.astype(jnp.bfloat16), t).astype(jnp.float32))
+    fp_tp = _throughput(lambda x, t: fp_jit(params_bf16, x, t), x, t, b)
 
     # w8a8 DEPLOYED integer path (real int8 MXU convs, bf16 elsewhere)
     from tfmq_dm_tpu.quant.deploy import (deploy_weights,
@@ -67,12 +67,17 @@ def main():
                           (x[:8], t[:8]))
     astate = jax.tree.map(lambda a: a[None], astate)  # 1 FSC group
     deployed = deploy_weights(adapter.policy, params, wstate)
-    model_fn = make_deployed_model_fn(adapter, params, deployed, astate,
-                                      use_aq=True,
-                                      act_dtype=jnp.bfloat16)
-    q_fn = jax.jit(lambda x, t: model_fn(x.astype(jnp.bfloat16), t,
-                                         0).astype(jnp.float32))
-    q_tp = _throughput(q_fn, x, t, b)
+
+    def q_fwd(bundle, x, t):
+        p, dep, ast = bundle
+        model_fn = make_deployed_model_fn(adapter, p, dep, ast,
+                                          use_aq=True,
+                                          act_dtype=jnp.bfloat16)
+        return model_fn(x.astype(jnp.bfloat16), t, 0).astype(jnp.float32)
+
+    q_jit = jax.jit(q_fwd)
+    bundle = (params, deployed, astate)
+    q_tp = _throughput(lambda x, t: q_jit(bundle, x, t), x, t, b)
 
     print(json.dumps({
         "metric": "cifar10_unet_w8a8_denoise_steps_per_sec_per_chip",

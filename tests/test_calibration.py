@@ -213,3 +213,25 @@ def ctx_shape_of(w_cali, unit, adapter, params, wstate):
     adapter.forward(params, ctx, *(x[:1] for x in w_cali))
     out = ctx.tape[f"{unit.name}::out"]
     return (w_cali[0].shape[0],) + out.shape[1:]
+
+
+def test_resumable_reconstruction(setup, tmp_path):
+    """Per-unit checkpointing: a second run skips completed units and
+    reproduces the same wstate (the reference loses everything on crash,
+    calibration.py:153-154)."""
+    params, adapter, w_cali, _ = setup
+    hp = ReconHP(iters=6, batch_size=4)
+    wstate0 = init_weight_qparams(adapter.policy, params, scaler="minmax")
+    d = str(tmp_path / "resume")
+    w1 = recon.reconstruct(adapter, params, w_cali, dict(wstate0), hp,
+                           jax.random.PRNGKey(21), resume_dir=d,
+                           capture_batch_size=16)
+    import os
+    assert len(os.listdir(d)) > 0
+    # resume from the checkpoints: must skip everything and agree
+    w2 = recon.reconstruct(adapter, params, w_cali, dict(wstate0), hp,
+                           jax.random.PRNGKey(21), resume_dir=d,
+                           capture_batch_size=16)
+    a1 = np.asarray(w1["mid.block_1.conv1"]["alpha"])
+    a2 = np.asarray(w2["mid.block_1.conv1"]["alpha"])
+    np.testing.assert_allclose(a1, a2, atol=1e-7)

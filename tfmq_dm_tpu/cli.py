@@ -132,7 +132,7 @@ def main(argv=None) -> int:
     from .quant.calibrate import load_cali_model
     from .quant.deploy import deploy_weights, make_deployed_model_fn
     from .quant.inference import make_model_fn
-    from .samplers.ldm import group_of_step_from_t, make_cfg_model_fn
+    from .samplers.ldm import group_of_step_from_t
 
     task = get_task(args.task)
     if args.interval_length is not None:
@@ -147,15 +147,18 @@ def main(argv=None) -> int:
         params = loading.load_ddim_checkpoint(args.ckpt, task.unet)
         vae_params = cond_params = None
 
-        def fp_apply(x, t, c=None, qctx=None):
-            return ddim_unet.apply(params, task.unet, x, t, qctx)
+        def fp_apply_p(p, x, t, c=None, qctx=None):
+            return ddim_unet.apply(p, task.unet, x, t, qctx)
     else:
         params, vae_params, cond_params = loading.load_ldm_checkpoint(
             args.ckpt, task)
 
-        def fp_apply(x, t, c=None, qctx=None):
-            return ldm_unet.apply(params, task.unet, x, t, context=c,
+        def fp_apply_p(p, x, t, c=None, qctx=None):
+            return ldm_unet.apply(p, task.unet, x, t, context=c,
                                   qctx=qctx)
+
+    def fp_apply(x, t, c=None, qctx=None):
+        return fp_apply_p(params, x, t, c, qctx)
 
     qargs = ptq.QuantArgs(
         wq=args.wq, aq=args.aq, softmax_a_bit=args.softmax_a_bit,
@@ -201,50 +204,57 @@ def main(argv=None) -> int:
     if task.cond != "none":
         ctx, uc = _get_context(task, args, cond_params, args.batch)
 
-    def apply_q(x, t, c, step):
-        if not args.ptq:
-            return fp_apply(x, t, c)
-        if args.int_kernels:
-            return dep_fn_c(x, t, c, step)
-        from .quant.context import QuantCtx
-        from .quant.fsc import slice_fsc
-        ast = {}
-        if args.use_aq and astate is not None:
-            g = step if group_of_step is None else \
-                jnp.asarray(group_of_step)[step]
-            ast = slice_fsc(astate, g)
-        qctx = QuantCtx(adapter.policy, wstate=wstate, astate=ast,
-                        use_wq=True, use_aq=args.use_aq)
-        return fp_apply(x, t, c, qctx=qctx)
-
+    deployed = {}
     if args.ptq and args.int_kernels:
         deployed = deploy_weights(adapter.policy, params, wstate)
 
-        def dep_fn_c(x, t, c, step):
-            from .quant.context import QuantCtx
-            from .quant.fsc import slice_fsc
-            ast = {}
-            if args.use_aq and astate is not None:
-                g = step if group_of_step is None else \
-                    jnp.asarray(group_of_step)[step]
-                ast = slice_fsc(astate, g)
+    # Model state crosses the jit boundary as one ARGUMENT pytree —
+    # closing over concrete params would embed them as constants in the
+    # compiled program (fatal for large UNets).
+    bundle = {"params": params, "wstate": wstate or {},
+              "astate": astate or {}, "deployed": deployed,
+              "ctx": ctx, "uc": uc,
+              "gos": None if group_of_step is None
+              else jnp.asarray(group_of_step, jnp.int32)}
+
+    from .quant.context import QuantCtx
+    from .quant.fsc import slice_fsc
+
+    def apply_q(b, x, t, c, step):
+        if not args.ptq:
+            return fp_apply_p(b["params"], x, t, c)
+        ast = {}
+        if args.use_aq and b["astate"]:
+            g = step if b["gos"] is None else b["gos"][step]
+            ast = slice_fsc(b["astate"], g)
+        if args.int_kernels:
             qctx = QuantCtx(adapter.policy, wstate={}, astate=ast,
                             use_wq=True, use_aq=args.use_aq,
-                            deploy=deployed)
-            return fp_apply(x, t, c, qctx=qctx)
+                            deploy=b["deployed"])
+        else:
+            qctx = QuantCtx(adapter.policy, wstate=b["wstate"],
+                            astate=ast, use_wq=True, use_aq=args.use_aq)
+        return fp_apply_p(b["params"], x, t, c, qctx=qctx)
 
     if task.cond != "none":
-        model_fn = make_cfg_model_fn(
-            lambda x, t, c, s: apply_q(x, t, c, s), ctx, uc, scale)
+        def model_fn(b, x, t, step):
+            # double-batched CFG (ddim.py:178-185)
+            x_in = jnp.concatenate([x, x])
+            t_in = jnp.concatenate([t, t])
+            c_in = jnp.concatenate([b["uc"], b["ctx"]])
+            e = apply_q(b, x_in, t_in, c_in, step)
+            e_uc, e_c = jnp.split(e, 2)
+            return e_uc + scale * (e_c - e_uc)
     else:
-        model_fn = lambda x, t, s: apply_q(x, t, None, s)
+        def model_fn(b, x, t, step):
+            return apply_q(b, x, t, None, step)
 
     logger.info("sampling %d images (batch %d)", n, args.batch)
     t0 = time.time()
     sampling.sample_fid(
         task, sampler_fn, model_fn, n_images=n, batch_size=args.batch,
         key=key, out_dir=os.path.join(args.out, "img"),
-        vae_params=vae_params,
+        vae_params=vae_params, bundle=bundle,
         npz_path=os.path.join(args.out, "samples.npz") if args.npz
         else None)
     logger.info("done in %.1f min", (time.time() - t0) / 60)

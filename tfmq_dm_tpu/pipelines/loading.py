@@ -52,14 +52,29 @@ def _apply_ema(unet_sd: Dict, full_sd: Dict) -> Dict:
     return out
 
 
-def load_ddim_checkpoint(path: str, cfg: ddim_unet.DDIMUNetConfig
-                         ) -> Dict:
+def load_ddim_checkpoint(path: str, cfg: ddim_unet.DDIMUNetConfig,
+                         use_ema: bool = True) -> Dict:
+    """DDIM checkpoints: either a bare (possibly EMA'd) state dict — the
+    pretrained-DDPM download path — or the trainer's
+    [state, opt, epoch, step, ema_state] list, where the EMAHelper
+    shadow params replace the raw weights when ``use_ema``
+    (ddim/runners/diffusion.py:205-228, models/ema.py)."""
     states = _torch_load(path)
+    ema = None
     if isinstance(states, (list, tuple)):
         sd = states[0]
+        if use_ema and len(states) >= 2 and \
+                isinstance(states[-1], dict) and any(
+                    hasattr(v, "shape") for v in states[-1].values()):
+            ema = states[-1]
     else:
         sd = states.get("state_dict", states)
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    if ema:
+        ema = {k.removeprefix("module."): v for k, v in ema.items()}
+        n = sum(1 for k in sd if k in ema)
+        sd = {k: ema.get(k, v) for k, v in sd.items()}
+        logger.info("EMA swap: %d/%d tensors", n, len(sd))
     return convert_state_dict(sd, ddim_unet.iter_layers(cfg))
 
 

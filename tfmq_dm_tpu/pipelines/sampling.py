@@ -36,21 +36,63 @@ def save_images(images: np.ndarray, out_dir: str, start: int) -> None:
     write_png_batch(arr, out_dir, start)
 
 
+def slerp(z1: jax.Array, z2: jax.Array, alpha) -> jax.Array:
+    """Spherical interpolation between noise latents
+    (ddim/runners/diffusion.py sample_interpolation)."""
+    theta = jnp.arccos(jnp.sum(z1 * z2)
+                       / (jnp.linalg.norm(z1) * jnp.linalg.norm(z2)))
+    return (jnp.sin((1 - alpha) * theta) / jnp.sin(theta) * z1
+            + jnp.sin(alpha * theta) / jnp.sin(theta) * z2)
+
+
+def sample_interpolation(task: TaskConfig, sampler_fn: Callable,
+                         model_fn: Callable, *, key: jax.Array,
+                         n_interp: int = 8,
+                         out_dir: Optional[str] = None) -> np.ndarray:
+    """Generate a slerp trajectory between two random latents (the
+    reference's --interpolation mode)."""
+    shape = (task.unet.resolution if task.family == "ddim"
+             else task.unet.image_size)
+    cin = task.unet.in_channels
+    k1, k2, k3 = jax.random.split(key, 3)
+    z1 = jax.random.normal(k1, (1, shape, shape, cin))
+    z2 = jax.random.normal(k2, (1, shape, shape, cin))
+    alphas = jnp.linspace(0.0, 1.0, n_interp)
+    x0 = jnp.concatenate([slerp(z1, z2, a) for a in alphas])
+    out = sampler_fn(model_fn, x0, k3)
+    out = np.asarray(inverse_data_transform(out))
+    if out_dir:
+        save_images(out, out_dir, 0)
+    return out
+
+
 def sample_fid(task: TaskConfig, sampler_fn: Callable, model_fn: Callable,
                *, n_images: int, batch_size: int, key: jax.Array,
                out_dir: Optional[str] = None,
                vae_params: Optional[dict] = None,
-               npz_path: Optional[str] = None) -> np.ndarray:
-    """Generate ``n_images`` with the given jitted sampler; returns the
+               npz_path: Optional[str] = None,
+               bundle=None) -> np.ndarray:
+    """Generate ``n_images`` with the given sampler; returns the
     (N,H,W,C) uint8-convertible array in [0,1] and optionally writes
-    PNGs + a single npz (the reference's FID evaluation protocol)."""
+    PNGs + a single npz (the reference's FID evaluation protocol).
+
+    ``bundle``: optional pytree of model state (params/quant state);
+    when given, ``model_fn(bundle, x, t, step)`` and the bundle crosses
+    the jit boundary as an ARGUMENT — closed-over concrete params get
+    embedded as constants in the compiled program, which blows up
+    compile payloads for large UNets."""
     shape = (task.unet.resolution if task.family == "ddim"
              else task.unet.image_size)
     cin = task.unet.in_channels
 
-    run = jax.jit(lambda x, k: sampler_fn(model_fn, x, k))
+    if bundle is not None:
+        run_b = jax.jit(lambda b, x, k: sampler_fn(
+            lambda xx, tt, ss: model_fn(b, xx, tt, ss), x, k))
+        run = lambda x, k: run_b(bundle, x, k)
+    else:
+        run = jax.jit(lambda x, k: sampler_fn(model_fn, x, k))
     if vae_params is not None:
-        decode = jax.jit(lambda z: vae_mod.decode(vae_params, task.vae, z))
+        decode_v = jax.jit(lambda vp, z: vae_mod.decode(vp, task.vae, z))
     all_imgs = []
     done = 0
     while done < n_images:
@@ -60,7 +102,7 @@ def sample_fid(task: TaskConfig, sampler_fn: Callable, model_fn: Callable,
         t0 = time.perf_counter()
         out = run(x0, k2)
         if vae_params is not None:
-            out = decode(out)
+            out = decode_v(vae_params, out)
         out = inverse_data_transform(out)
         out = np.asarray(out[:b])
         dt = time.perf_counter() - t0

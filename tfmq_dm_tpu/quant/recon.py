@@ -289,14 +289,41 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
 
 def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
                 hp: ReconHP, key, *, capture_batch_size: int = 128,
-                log=None):
+                log=None, mesh=None, resume_dir: Optional[str] = None):
     """Sequential unit-by-unit reconstruction in module order
     (recon_model DFS, calibration.py:56-84). Each unit's asym inputs are
     captured under the current (partially reconstructed, hard-rounded)
-    prefix — order matters, exactly as in the reference."""
+    prefix — order matters, exactly as in the reference.
+
+    ``mesh``: run each unit's Adam loop data-parallel over the mesh
+    (parallel/dp.py). ``resume_dir``: per-unit checkpointing — unit
+    results are persisted as they finish and completed units are skipped
+    on restart (the reference only writes the artifact after ALL units,
+    calibration.py:153-154, so a crash loses everything)."""
+    import os
+
+    import numpy as np
+
+    if resume_dir:
+        os.makedirs(resume_dir, exist_ok=True)
+
+    def _unit_path(name):
+        return os.path.join(resume_dir, name.replace("/", "_") + ".npz")
+
     for unit in adapter.units:
         train = adapter.default_train_roles(unit)
         if not unit.recon or not train:
+            continue
+        if resume_dir and os.path.exists(_unit_path(unit.name)):
+            data = np.load(_unit_path(unit.name))
+            for role, full in unit.layers:
+                akey = f"{full}::alpha"
+                if akey in data.files:
+                    wstate[full] = dict(wstate[full])
+                    wstate[full]["alpha"] = jnp.asarray(data[akey])
+            key, _ = jax.random.split(key)  # keep the RNG stream aligned
+            if log is not None:
+                log(unit.name, None)
             continue
         inputs, outputs = capture_unit_io(
             adapter, unit, params, cali_data, wstate,
@@ -308,8 +335,21 @@ def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
                                         wstate, use_aq=hp.use_aq,
                                         batch_size=capture_batch_size)
         key, k = jax.random.split(key)
-        wstate, losses = reconstruct_unit(adapter, unit, params, wstate,
-                                          inputs, outputs, hp, k, fgrads)
+        if mesh is not None:
+            from ..parallel.dp import reconstruct_unit_dp
+            wstate, losses = reconstruct_unit_dp(mesh, adapter, unit,
+                                                 params, wstate, inputs,
+                                                 outputs, hp, k)
+        else:
+            wstate, losses = reconstruct_unit(adapter, unit, params,
+                                              wstate, inputs, outputs,
+                                              hp, k, fgrads)
+        if resume_dir and jax.process_index() == 0:
+            np.savez(_unit_path(unit.name),
+                     **{f"{full}::alpha": np.asarray(
+                         wstate[full]["alpha"])
+                        for _, full in unit.layers
+                        if "alpha" in wstate.get(full, {})})
         if log is not None and losses is not None:
             log(unit.name, losses)
     return wstate
