@@ -4,11 +4,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 - metric: w8a8 DDIM CIFAR-10 UNet denoise throughput (image-denoise-steps
-  per second per chip), batch 64.
+  per second per chip), batch 64, real int8 MXU kernels.
 - vs_baseline: ratio vs the bf16 full-precision UNet on the same chip —
   the reference deploys integer speed only via external OpenVINO
   (README.md:132) and its own fake-quant path runs *slower* than FP;
   BASELINE.json's north star is >=2x bf16 with real int kernels.
+
+Timing methodology: the denoise loop runs ON DEVICE as a
+``lax.fori_loop`` (exactly how the samplers execute) and we time the
+*difference* between a long and a short loop fetched to host — on the
+remote-tunnel runtime, ``block_until_ready`` acks before execution
+finishes and per-call dispatch costs a host round-trip, so host-side
+per-call chaining measures the tunnel, not the chip.
 """
 
 import json
@@ -16,30 +23,42 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 # persistent compile cache: repeat bench runs skip the (slow) TPU compile
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+N_SHORT, N_LONG, REPS = 10, 60, 3
 
-def _throughput(fn, x, t, batch, iters=50, warmup=2):
-    """Chained timing: feed the UNet output back as its input so every
-    iteration depends on the previous one (identical-input executions get
-    deduped/pipelined by the runtime and report impossible speeds)."""
-    for _ in range(warmup):
-        x = fn(x, t)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = fn(x, t)
-    jax.block_until_ready(x)
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+
+def _steps_per_sec(step_fn, params, x, t, batch):
+    """step_fn(params, x, t) -> x. Returns image-denoise-steps/sec."""
+
+    def chain(n):
+        def run(p, x, t):
+            return lax.fori_loop(0, n,
+                                 lambda i, xx: step_fn(p, xx, t), x)
+        return jax.jit(run)
+
+    c_short, c_long = chain(N_SHORT), chain(N_LONG)
+    np.asarray(c_short(params, x, t))  # compile + warm
+    np.asarray(c_long(params, x, t))
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(c_short(params, x, t))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(c_long(params, x, t))
+        d2 = time.perf_counter() - t0
+        best = min(best, (d2 - d1) / (N_LONG - N_SHORT))
+    return batch / best
 
 
 def main():
     from tfmq_dm_tpu.models import ddim_unet, ddim_units
-    from tfmq_dm_tpu.quant.inference import make_model_fn
     from tfmq_dm_tpu.quant.recon import init_weight_qparams
 
     cfg = ddim_unet.cifar10_config()
@@ -49,12 +68,12 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (b, 32, 32, 3))
     t = jnp.full((b,), 500, jnp.int32)
 
-    # bf16 FP baseline (params cross jit as ARGUMENTS — closures embed
-    # them as program constants and bloat the compile payload)
+    # bf16 FP baseline
     params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    fp_jit = jax.jit(lambda p, x, t: ddim_unet.apply(
-        p, cfg, x.astype(jnp.bfloat16), t).astype(jnp.float32))
-    fp_tp = _throughput(lambda x, t: fp_jit(params_bf16, x, t), x, t, b)
+    fp_tp = _steps_per_sec(
+        lambda p, xx, tt: ddim_unet.apply(
+            p, cfg, xx.astype(jnp.bfloat16), tt).astype(jnp.float32),
+        params_bf16, x, t, b)
 
     # w8a8 DEPLOYED integer path (real int8 MXU convs, bf16 elsewhere)
     from tfmq_dm_tpu.quant.deploy import (deploy_weights,
@@ -68,16 +87,15 @@ def main():
     astate = jax.tree.map(lambda a: a[None], astate)  # 1 FSC group
     deployed = deploy_weights(adapter.policy, params, wstate)
 
-    def q_fwd(bundle, x, t):
+    def q_step(bundle, xx, tt):
         p, dep, ast = bundle
         model_fn = make_deployed_model_fn(adapter, p, dep, ast,
                                           use_aq=True,
                                           act_dtype=jnp.bfloat16)
-        return model_fn(x.astype(jnp.bfloat16), t, 0).astype(jnp.float32)
+        return model_fn(xx.astype(jnp.bfloat16), tt,
+                        0).astype(jnp.float32)
 
-    q_jit = jax.jit(q_fwd)
-    bundle = (params, deployed, astate)
-    q_tp = _throughput(lambda x, t: q_jit(bundle, x, t), x, t, b)
+    q_tp = _steps_per_sec(q_step, (params, deployed, astate), x, t, b)
 
     print(json.dumps({
         "metric": "cifar10_unet_w8a8_denoise_steps_per_sec_per_chip",

@@ -1,0 +1,95 @@
+"""SD-scale benchmark: Stable Diffusion v1.4 UNet denoise step, w8a8
+deployed int8 vs bf16 FP, one chip. This is the north-star setting
+(BASELINE.md: "w4a8 SD v1.4 512x512 ... >=2x bf16 img/s/chip"); the
+driver-run `bench.py` keeps the fast CIFAR-10 metric, this script is the
+big-model measurement (first run compiles ~minutes through the remote
+relay; cached afterwards).
+
+Usage: python bench_sd.py [batch]   (batch = CFG-doubled rows, default 8)
+Prints one JSON line like bench.py.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+N_SHORT, N_LONG, REPS = 4, 16, 3
+
+
+def _steps_per_sec(step_fn, params, x, t, c, batch):
+    def chain(n):
+        def run(p, x, t, c):
+            return lax.fori_loop(
+                0, n, lambda i, xx: step_fn(p, xx, t, c), x)
+        return jax.jit(run)
+
+    c_short, c_long = chain(N_SHORT), chain(N_LONG)
+    np.asarray(c_short(params, x, t, c))
+    np.asarray(c_long(params, x, t, c))
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        np.asarray(c_short(params, x, t, c))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(c_long(params, x, t, c))
+        d2 = time.perf_counter() - t0
+        best = min(best, (d2 - d1) / (N_LONG - N_SHORT))
+    return batch / best
+
+
+def main():
+    from tfmq_dm_tpu.models import ldm_unet, ldm_units
+    from tfmq_dm_tpu.quant.deploy import (deploy_weights,
+                                          make_deployed_model_fn)
+    from tfmq_dm_tpu.quant.fsc import _fsc_init
+    from tfmq_dm_tpu.quant.recon import init_weight_qparams
+
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    cfg = ldm_unet.sd_v1_config()
+    params = ldm_unet.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 64, 64, 4))
+    t = jnp.full((b,), 500, jnp.int32)
+    c = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 768))
+
+    params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    fp_tp = _steps_per_sec(
+        lambda p, xx, tt, cc: ldm_unet.apply(
+            p, cfg, xx.astype(jnp.bfloat16), tt,
+            context=cc.astype(jnp.bfloat16)).astype(jnp.float32),
+        params_bf16, x, t, c, b)
+
+    adapter = ldm_units.build_adapter(cfg, w_bits=8, a_bits=8, use_aq=True)
+    wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
+    astate, _ = _fsc_init(adapter, "minmax", params, wstate,
+                          (x[:2], t[:2], c[:2]))
+    astate = jax.tree.map(lambda a: a[None], astate)  # 1 FSC group
+    deployed = deploy_weights(adapter.policy, params, wstate)
+
+    def q_step(bundle, xx, tt, cc):
+        p, dep, ast = bundle
+        fn = make_deployed_model_fn(adapter, p, dep, ast, use_aq=True,
+                                    act_dtype=jnp.bfloat16)
+        return fn(xx.astype(jnp.bfloat16), tt, 0,
+                  cc.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    q_tp = _steps_per_sec(q_step, (params, deployed, astate), x, t, c, b)
+
+    print(json.dumps({
+        "metric": "sd_v14_unet_w8a8_denoise_steps_per_sec_per_chip",
+        "value": round(q_tp, 2),
+        "unit": "img-denoise-steps/s",
+        "vs_baseline": round(q_tp / fp_tp, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

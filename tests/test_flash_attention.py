@@ -1,0 +1,130 @@
+"""Flash-attention kernels vs the materialized einsum reference.
+
+Run in Pallas interpreter mode (CPU); on TPU the same kernels compile to
+Mosaic. Shapes cover the model zoo: SD self-attn (T=4096 is shrunk to
+256 here, head dims 40/80 exercise D-padding), SD cross-attn (Tk=77),
+and the DDIM single-head big-D block.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfmq_dm_tpu.ops import attention as attn_ops
+from tfmq_dm_tpu.ops.flash_attention import flash_attention
+from tfmq_dm_tpu.quant.quantizer import QCfg, fake_quant
+
+
+def _ref(q, k, v, sm_scale, p_quant=None, cfg=None):
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                     preferred_element_type=jnp.float32) * sm_scale
+    p = jax.nn.softmax(sim, axis=-1)
+    if p_quant is not None:
+        p = fake_quant(p, p_quant[0], p_quant[1], cfg)
+    return jnp.einsum("bhij,bhjd->bhid", p,
+                      v.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+
+
+def _rand(key, *shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+@pytest.mark.parametrize("tq,tk,h,d", [
+    (256, 256, 8, 40),    # SD self-attn head-dim (D padded 40->128)
+    (256, 77, 8, 80),     # SD cross-attn vs CLIP context
+    (100, 100, 2, 64),    # ragged T (padding + masking)
+    (256, 256, 1, 512),   # DDIM single-head block
+])
+def test_flash_matches_einsum_fp(tq, tk, h, d):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = _rand(k1, 2, h, tq, d)
+    k = _rand(k2, 2, h, tk, d)
+    v = _rand(k3, 2, h, tk, d)
+    sm = d ** -0.5
+    out = flash_attention(q, k, v, sm_scale=sm, interpret=True)
+    ref = _ref(q, k, v, sm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("tq,tk,h,d", [
+    (256, 256, 4, 40),
+    (130, 77, 8, 64),
+])
+def test_flash_quantized_softmax_matches_fake_quant(tq, tk, h, d):
+    """Two-pass kernel == softmax -> fake_quant(always_zero a8) -> @v."""
+    cfg = QCfg(bits=8, symmetric=False, always_zero=True)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = _rand(k1, 1, h, tq, d)
+    k = _rand(k2, 1, h, tk, d)
+    v = _rand(k3, 1, h, tk, d)
+    sm = d ** -0.5
+    delta = jnp.float32(1.0 / 255.0)   # always_zero: delta = max/(2^b-1)
+    zp = jnp.float32(0.0)
+    out = flash_attention(q, k, v, sm_scale=sm, p_quant=(delta, zp),
+                          qrange=cfg.qrange, interpret=True)
+    ref = _ref(q, k, v, sm, p_quant=(delta, zp), cfg=cfg)
+    _assert_quant_close(out, ref, delta)
+
+
+def _assert_quant_close(out, ref, delta):
+    """Round-to-nearest boundary cases may flip by one quantization level
+    between the two implementations (the online denominator differs in
+    the last float bits); require near-exact agreement except for a tiny
+    fraction of one-level flips."""
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    assert np.mean(d > 1e-5) < 0.005, f"{np.mean(d > 1e-5):.4%} mismatch"
+    assert d.max() <= float(delta) * 6.0, d.max()
+
+
+def test_flash_quantized_asymmetric_zp():
+    """Nonzero zero-point path (plain asymmetric aqtizer_w)."""
+    cfg = QCfg(bits=8, symmetric=False)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = _rand(k1, 1, 2, 128, 64)
+    k = _rand(k2, 1, 2, 128, 64)
+    v = _rand(k3, 1, 2, 128, 64)
+    delta = jnp.float32(0.004)
+    zp = jnp.float32(3.0)
+    out = flash_attention(q, k, v, sm_scale=0.125, p_quant=(delta, zp),
+                          qrange=cfg.qrange, interpret=True)
+    ref = _ref(q, k, v, 0.125, p_quant=(delta, zp), cfg=cfg)
+    _assert_quant_close(out, ref, delta)
+
+
+def test_dispatch_falls_back_on_cpu():
+    """qsm_attention must use the einsum path on CPU (auto mode) and give
+    the exact reference result including the softmax-output qact."""
+    assert jax.default_backend() == "cpu"
+    assert not attn_ops._flash_ok(None)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = _rand(k1, 2, 64, 2, 32)   # (B, T, H, D) caller layout
+    k = _rand(k2, 2, 64, 2, 32)
+    v = _rand(k3, 2, 64, 2, 32)
+    out = attn_ops.qsm_attention(q, k, v, 32 ** -0.5, None, None)
+    ref = _ref(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+               v.transpose(0, 2, 1, 3), 32 ** -0.5).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_dispatch_flash_matches_einsum_when_forced():
+    """set_flash("on") routes through the kernel (interpreted via the
+    CPU-lowered pallas_call) and agrees with the fallback."""
+    from tfmq_dm_tpu.quant.context import QuantCtx
+    from tfmq_dm_tpu.quant.policy import QuantPolicy, LayerPolicy
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = _rand(k1, 1, 130, 2, 40)
+    k = _rand(k2, 1, 130, 2, 40)
+    v = _rand(k3, 1, 130, 2, 40)
+    ref = attn_ops.qsm_attention(q, k, v, 40 ** -0.5, None, None)
+    attn_ops.set_flash("on")
+    try:
+        out = attn_ops.qsm_attention(q, k, v, 40 ** -0.5, None, None)
+    finally:
+        attn_ops.set_flash("auto")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

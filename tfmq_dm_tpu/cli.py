@@ -230,10 +230,11 @@ def main(argv=None) -> int:
         if args.int_kernels:
             qctx = QuantCtx(adapter.policy, wstate={}, astate=ast,
                             use_wq=True, use_aq=args.use_aq,
-                            deploy=b["deployed"])
+                            deploy=b["deployed"], flash=True)
         else:
             qctx = QuantCtx(adapter.policy, wstate=b["wstate"],
-                            astate=ast, use_wq=True, use_aq=args.use_aq)
+                            astate=ast, use_wq=True, use_aq=args.use_aq,
+                            flash=True)
         return fp_apply_p(b["params"], x, t, c, qctx=qctx)
 
     if task.cond != "none":

@@ -28,6 +28,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import attention as attn_ops
 from ..ops import nn as fnn
 from ..quant import qfunc
 from ..quant.context import QuantCtx
@@ -264,19 +265,15 @@ def _attn(params, prefix: str, x, qctx: Optional[QuantCtx]):
                       padding="VALID")
     v = qfunc.qconv2d(qctx, f"{prefix}.v", h_, params[f"{prefix}.v"],
                       padding="VALID")
-    q = q.reshape(b, h * w, c)
-    k = k.reshape(b, h * w, c)
-    v = v.reshape(b, h * w, c)
+    q = q.reshape(b, h * w, 1, c)
+    k = k.reshape(b, h * w, 1, c)
+    v = v.reshape(b, h * w, 1, c)
     q = qfunc.qact(qctx, f"{prefix}.aqtizer_q", q)
     k = qfunc.qact(qctx, f"{prefix}.aqtizer_k", k)
-    attn = jnp.einsum("bic,bjc->bij", q, k,
-                      preferred_element_type=jnp.float32)
-    attn = attn * (c ** -0.5)
-    attn = jax.nn.softmax(attn, axis=2)
     v = qfunc.qact(qctx, f"{prefix}.aqtizer_v", v)
-    attn = qfunc.qact(qctx, f"{prefix}.aqtizer_w", attn)
-    h_ = jnp.einsum("bij,bjc->bic", attn, v,
-                    preferred_element_type=jnp.float32).astype(x.dtype)
+    h_ = attn_ops.qsm_attention(q, k, v, c ** -0.5, qctx,
+                                f"{prefix}.aqtizer_w",
+                                out_dtype=x.dtype)
     h_ = h_.reshape(b, h, w, c)
     h_ = qfunc.qconv2d(qctx, f"{prefix}.proj_out", h_,
                        params[f"{prefix}.proj_out"], padding="VALID")

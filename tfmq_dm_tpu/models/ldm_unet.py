@@ -32,6 +32,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import attention as attn_ops
 from ..ops import nn as fnn
 from ..quant import qfunc
 from ..quant.context import QuantCtx
@@ -404,13 +405,10 @@ def _attn_forward(params, s: Sub, x, qctx):
                    q * scale)
     k = qfunc.qact(qctx, f"{s.prefix}.attention.qkv_matmul.aqtizer_k",
                    k * scale)
-    w_ = jnp.einsum("bthc,bshc->bhts", q, k,
-                    preferred_element_type=jnp.float32)
-    w_ = jax.nn.softmax(w_, axis=-1).astype(x.dtype)
-    w_ = qfunc.qact(qctx, f"{s.prefix}.attention.smv_matmul.aqtizer_w", w_)
     v = qfunc.qact(qctx, f"{s.prefix}.attention.smv_matmul.aqtizer_v", v)
-    a = jnp.einsum("bhts,bshc->bthc", w_, v,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    a = attn_ops.qsm_attention(
+        q, k, v, 1.0, qctx, f"{s.prefix}.attention.smv_matmul.aqtizer_w",
+        out_dtype=x.dtype)
     a = a.reshape(b, t, c)
     h_ = qfunc.qlinear(qctx, f"{s.prefix}.proj_out", a,
                        params[f"{s.prefix}.proj_out"])
@@ -435,14 +433,10 @@ def _cross_attn(params, prefix: str, x, context, heads: int, d_head: int,
     v = v.reshape(b, tk, heads, d_head)
     q = qfunc.qact(qctx, f"{prefix}.aqtizer_q", q)
     k = qfunc.qact(qctx, f"{prefix}.aqtizer_k", k)
-    sim = jnp.einsum("bihd,bjhd->bhij", q, k,
-                     preferred_element_type=jnp.float32) \
-        * (d_head ** -0.5)
-    attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
-    attn = qfunc.qact(qctx, f"{prefix}.aqtizer_w", attn)
     v = qfunc.qact(qctx, f"{prefix}.aqtizer_v", v)
-    out = jnp.einsum("bhij,bjhd->bihd", attn, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = attn_ops.qsm_attention(q, k, v, d_head ** -0.5, qctx,
+                                 f"{prefix}.aqtizer_w",
+                                 out_dtype=x.dtype)
     out = out.reshape(b, tq, heads * d_head)
     return qfunc.qlinear(qctx, f"{prefix}.to_out.0", out,
                          params[f"{prefix}.to_out.0"])

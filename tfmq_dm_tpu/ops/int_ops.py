@@ -93,33 +93,48 @@ def int8_conv2d(x_q: jax.Array, zp_xc: jax.Array, dx: jax.Array,
     """Exact quantized conv: int8 MXU accumulate in int32, then the
     zero-point corrections and the fused dequant epilogue.
 
-    ``pads``: explicit (H, W) padding of the fp conv being replaced;
-    real-zero padding is emulated by pre-padding x_q' with zp_x'.
+    The conv zero-pads x_q' directly (an explicit pre-pad with zp_x'
+    would copy the whole int8 tensor each call). Padding with integer 0
+    instead of the real-zero code zp_x' makes the border taps contribute
+    0 rather than zp_x'·(w' - zp_w'), so the zp_x' cross terms use
+    per-position maps that only deviate from the interior constants on
+    the border ring:
+
+      out = dx·dw·( conv0(x', w') - zp_w'·S0(x) - zp_x'·W(i,j)
+                    + zp_x'·zp_w'·cin·V(i,j) )
+
+    with S0 = windowed sum of zero-padded x', W(i,j,o) = sum of w' over
+    the taps valid at (i,j) (interior: wsum), V(i,j) = count of valid
+    taps (interior: kh·kw). W and V depend only on weights/shapes — they
+    are loop-invariant in a scanned sampler and hoisted by XLA.
     """
     kh, kw, cin, cout = iw.w_q.shape
-    # pre-pad with the centered act zero-point (= real 0)
-    zp_xi = jnp.round(zp_xc).astype(jnp.int8)
-    if any(p != (0, 0) for p in pads):
-        x_q = jnp.pad(x_q, ((0, 0), pads[0], pads[1], (0, 0)),
-                      constant_values=zp_xi)
+    dn = ("NHWC", "HWIO", "NHWC")
+    strides = (stride, stride)
+    pads = list(pads)
     acc = lax.conv_general_dilated(
-        x_q, iw.w_q, (stride, stride), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        x_q, iw.w_q, strides, pads, dimension_numbers=dn,
         preferred_element_type=jnp.int32)
-    # windowed sum of x_q' over (kh, kw, cin): channel-reduce first (VPU),
-    # then a single-channel ones conv
+    # windowed sum of x_q': channel-reduce first (VPU), then a
+    # single-channel ones conv over the (kh, kw) window
     xsum = jnp.sum(x_q.astype(jnp.int32), axis=-1, keepdims=True)
-    ones = jnp.ones((kh, kw, 1, 1), jnp.int32)
+    ones_k = jnp.ones((kh, kw, 1, 1), jnp.int32)
     s = lax.conv_general_dilated(
-        xsum, ones, (stride, stride), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        xsum, ones_k, strides, pads, dimension_numbers=dn,
         preferred_element_type=jnp.int32)
-    accf = acc.astype(jnp.float32)
-    sf = s.astype(jnp.float32)
-    corr = (accf
-            - iw.zp_c[None, None, None, :] * sf
-            - zp_xc * iw.wsum.astype(jnp.float32)[None, None, None, :]
-            + iw.k * zp_xc * iw.zp_c[None, None, None, :])
+    # loop-invariant border maps (hoisted out of sampler scans)
+    ones_x = jnp.ones((1,) + x_q.shape[1:3] + (cin,), jnp.int8)
+    w_map = lax.conv_general_dilated(
+        ones_x, iw.w_q, strides, pads, dimension_numbers=dn,
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    v_map = lax.conv_general_dilated(
+        ones_x[..., :1].astype(jnp.int32), ones_k, strides, pads,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    corr = (acc.astype(jnp.float32)
+            - iw.zp_c[None, None, None, :] * s.astype(jnp.float32)
+            - zp_xc * w_map
+            + (cin * zp_xc) * v_map * iw.zp_c[None, None, None, :])
     out = (dx * iw.delta)[None, None, None, :] * corr
     if b is not None:
         out = out + b

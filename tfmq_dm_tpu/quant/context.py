@@ -50,7 +50,8 @@ class QuantCtx:
                  unit_of: Optional[Dict[str, str]] = None,
                  deploy: Optional[dict] = None,
                  act_out_dtype=None,
-                 override: Optional[dict] = None):
+                 override: Optional[dict] = None,
+                 flash: bool = False):
         self.policy = policy
         self.wstate = wstate or {}
         self.astate = astate or {}
@@ -73,6 +74,9 @@ class QuantCtx:
         self.act_out_dtype = act_out_dtype
         # {unit: value} — substitute a unit's output (Fisher grads)
         self.override = override
+        # opt-in to the fused flash-attention kernel (forward-only
+        # inference contexts; see ops/attention.py dispatch rules)
+        self.flash = flash
 
     # ---------------- weight path ----------------
 

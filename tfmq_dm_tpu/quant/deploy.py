@@ -47,14 +47,14 @@ def make_deployed_model_fn(adapter: ModelAdapter, params,
     if group_of_step is not None:
         group_of_step = jnp.asarray(group_of_step, jnp.int32)
 
-    def model_fn(x, t, step):
+    def model_fn(x, t, step, *cond):
         astate = {}
         if use_aq and astate_batched is not None:
             g = step if group_of_step is None else group_of_step[step]
             astate = slice_fsc(astate_batched, g)
         ctx = QuantCtx(adapter.policy, wstate={}, astate=astate,
                        use_wq=True, use_aq=use_aq, deploy=deployed,
-                       act_out_dtype=act_dtype)
-        return adapter.forward(params, ctx, x, t)
+                       act_out_dtype=act_dtype, flash=True)
+        return adapter.forward(params, ctx, x, t, *cond)
 
     return model_fn

@@ -31,13 +31,13 @@ def make_model_fn(adapter: ModelAdapter, params, wstate: Optional[Dict],
     if group_of_step is not None:
         group_of_step = jnp.asarray(group_of_step, jnp.int32)
 
-    def model_fn(x, t, step):
+    def model_fn(x, t, step, *cond):
         astate = {}
         if use_aq and astate_batched is not None:
             g = step if group_of_step is None else group_of_step[step]
             astate = slice_fsc(astate_batched, g)
         ctx = QuantCtx(adapter.policy, wstate=wstate or {}, astate=astate,
-                       use_wq=use_wq, use_aq=use_aq)
-        return adapter.forward(params, ctx, x, t)
+                       use_wq=use_wq, use_aq=use_aq, flash=True)
+        return adapter.forward(params, ctx, x, t, *cond)
 
     return model_fn
