@@ -94,6 +94,46 @@ def test_flash_quantized_asymmetric_zp():
     _assert_quant_close(out, ref, delta)
 
 
+@pytest.mark.parametrize("tq,tk,h,d,with_w", [
+    (256, 256, 4, 40, True),
+    (256, 256, 4, 40, False),
+    (130, 130, 2, 64, True),
+])
+def test_flash_int8_matches_fake_quant_reference(tq, tk, h, d, with_w):
+    """Full deployment kernel (int8 QK + int8 PV + in-kernel act quant)
+    == fake_quant(q)/fake_quant(k) -> softmax -> [fake_quant] ->
+    @ fake_quant(v)."""
+    acfg = QCfg(bits=8, symmetric=False)
+    wcfg = QCfg(bits=8, symmetric=False, always_zero=True)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = _rand(k1, 1, h, tq, d)
+    k = _rand(k2, 1, h, tk, d)
+    v = _rand(k3, 1, h, tk, d)
+    sm = d ** -0.5
+    dq, zq = jnp.float32(0.031), jnp.float32(130.0)
+    dk, zk = jnp.float32(0.029), jnp.float32(120.0)
+    dv, zv = jnp.float32(0.033), jnp.float32(125.0)
+    dw, zw = jnp.float32(1.0 / 255.0), jnp.float32(0.0)
+
+    q_fq = fake_quant(q, dq, zq, acfg)
+    k_fq = fake_quant(k, dk, zk, acfg)
+    v_fq = fake_quant(v, dv, zv, acfg)
+    ref = _ref(q_fq, k_fq, v_fq, sm,
+               p_quant=(dw, zw) if with_w else None, cfg=wcfg)
+
+    out = flash_attention(
+        q, k, v, sm_scale=sm,
+        qkv_quant=((dq, zq), (dk, zk), (dv, zv)),
+        qkv_ranges=(acfg.qrange,) * 3,
+        p_quant=(dw, zw) if with_w else None,
+        qrange=wcfg.qrange if with_w else None, interpret=True)
+    if with_w:
+        _assert_quant_close(out, ref, dw)
+    else:
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
+
+
 def test_dispatch_falls_back_on_cpu():
     """qsm_attention must use the einsum path on CPU (auto mode) and give
     the exact reference result including the softmax-output qact."""
@@ -103,7 +143,7 @@ def test_dispatch_falls_back_on_cpu():
     q = _rand(k1, 2, 64, 2, 32)   # (B, T, H, D) caller layout
     k = _rand(k2, 2, 64, 2, 32)
     v = _rand(k3, 2, 64, 2, 32)
-    out = attn_ops.qsm_attention(q, k, v, 32 ** -0.5, None, None)
+    out = attn_ops.qsm_attention(q, k, v, 32 ** -0.5, None, {})
     ref = _ref(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                v.transpose(0, 2, 1, 3), 32 ** -0.5).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -113,17 +153,14 @@ def test_dispatch_falls_back_on_cpu():
 def test_dispatch_flash_matches_einsum_when_forced():
     """set_flash("on") routes through the kernel (interpreted via the
     CPU-lowered pallas_call) and agrees with the fallback."""
-    from tfmq_dm_tpu.quant.context import QuantCtx
-    from tfmq_dm_tpu.quant.policy import QuantPolicy, LayerPolicy
-
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
     q = _rand(k1, 1, 130, 2, 40)
     k = _rand(k2, 1, 130, 2, 40)
     v = _rand(k3, 1, 130, 2, 40)
-    ref = attn_ops.qsm_attention(q, k, v, 40 ** -0.5, None, None)
+    ref = attn_ops.qsm_attention(q, k, v, 40 ** -0.5, None, {})
     attn_ops.set_flash("on")
     try:
-        out = attn_ops.qsm_attention(q, k, v, 40 ** -0.5, None, None)
+        out = attn_ops.qsm_attention(q, k, v, 40 ** -0.5, None, {})
     finally:
         attn_ops.set_flash("auto")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

@@ -268,12 +268,11 @@ def _attn(params, prefix: str, x, qctx: Optional[QuantCtx]):
     q = q.reshape(b, h * w, 1, c)
     k = k.reshape(b, h * w, 1, c)
     v = v.reshape(b, h * w, 1, c)
-    q = qfunc.qact(qctx, f"{prefix}.aqtizer_q", q)
-    k = qfunc.qact(qctx, f"{prefix}.aqtizer_k", k)
-    v = qfunc.qact(qctx, f"{prefix}.aqtizer_v", v)
-    h_ = attn_ops.qsm_attention(q, k, v, c ** -0.5, qctx,
-                                f"{prefix}.aqtizer_w",
-                                out_dtype=x.dtype)
+    h_ = attn_ops.qsm_attention(
+        q, k, v, c ** -0.5, qctx,
+        {"q": f"{prefix}.aqtizer_q", "k": f"{prefix}.aqtizer_k",
+         "v": f"{prefix}.aqtizer_v", "w": f"{prefix}.aqtizer_w"},
+        out_dtype=x.dtype)
     h_ = h_.reshape(b, h, w, c)
     h_ = qfunc.qconv2d(qctx, f"{prefix}.proj_out", h_,
                        params[f"{prefix}.proj_out"], padding="VALID")

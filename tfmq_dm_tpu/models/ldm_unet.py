@@ -401,13 +401,12 @@ def _attn_forward(params, s: Sub, x, qctx):
     qkv = qkv.reshape(b, t, heads, 3 * ch)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     scale = 1.0 / math.sqrt(math.sqrt(ch))
-    q = qfunc.qact(qctx, f"{s.prefix}.attention.qkv_matmul.aqtizer_q",
-                   q * scale)
-    k = qfunc.qact(qctx, f"{s.prefix}.attention.qkv_matmul.aqtizer_k",
-                   k * scale)
-    v = qfunc.qact(qctx, f"{s.prefix}.attention.smv_matmul.aqtizer_v", v)
     a = attn_ops.qsm_attention(
-        q, k, v, 1.0, qctx, f"{s.prefix}.attention.smv_matmul.aqtizer_w",
+        q * scale, k * scale, v, 1.0, qctx,
+        {"q": f"{s.prefix}.attention.qkv_matmul.aqtizer_q",
+         "k": f"{s.prefix}.attention.qkv_matmul.aqtizer_k",
+         "v": f"{s.prefix}.attention.smv_matmul.aqtizer_v",
+         "w": f"{s.prefix}.attention.smv_matmul.aqtizer_w"},
         out_dtype=x.dtype)
     a = a.reshape(b, t, c)
     h_ = qfunc.qlinear(qctx, f"{s.prefix}.proj_out", a,
@@ -431,12 +430,11 @@ def _cross_attn(params, prefix: str, x, context, heads: int, d_head: int,
     q = q.reshape(b, tq, heads, d_head)
     k = k.reshape(b, tk, heads, d_head)
     v = v.reshape(b, tk, heads, d_head)
-    q = qfunc.qact(qctx, f"{prefix}.aqtizer_q", q)
-    k = qfunc.qact(qctx, f"{prefix}.aqtizer_k", k)
-    v = qfunc.qact(qctx, f"{prefix}.aqtizer_v", v)
-    out = attn_ops.qsm_attention(q, k, v, d_head ** -0.5, qctx,
-                                 f"{prefix}.aqtizer_w",
-                                 out_dtype=x.dtype)
+    out = attn_ops.qsm_attention(
+        q, k, v, d_head ** -0.5, qctx,
+        {"q": f"{prefix}.aqtizer_q", "k": f"{prefix}.aqtizer_k",
+         "v": f"{prefix}.aqtizer_v", "w": f"{prefix}.aqtizer_w"},
+        out_dtype=x.dtype)
     out = out.reshape(b, tq, heads * d_head)
     return qfunc.qlinear(qctx, f"{prefix}.to_out.0", out,
                          params[f"{prefix}.to_out.0"])

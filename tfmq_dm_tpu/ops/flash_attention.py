@@ -1,26 +1,35 @@
-"""Fused blockwise (flash) attention Pallas kernels, with an optional
-softmax-output fake-quant epilogue.
+"""Fused blockwise (flash) attention Pallas kernels, with quantized
+variants that execute the attention matmuls in int8 on the MXU.
 
-The reference materializes the full (T, T) attention matrix and then
-quantizes the softmax output with a dedicated `aqtizer_w`
-(quant_block.py:273-278, 340-344; cross_attn_forward quant_block.py:
-214-245). On TPU that materialization is the HBM bottleneck at SD scale
-(64x64 = 4096 tokens). These kernels never write the score matrix to HBM:
+The reference materializes the full (T, T) attention matrix, fake-quants
+the softmax output with `aqtizer_w`, and fake-quants the matmul inputs
+with `aqtizer_q/k/v` — but still executes everything in fp
+(quant_block.py:214-245, 273-278, 303-354). On TPU these kernels never
+write the score matrix to HBM, and in deployment they run both matmuls
+at the int8 MXU rate:
 
-- `flash_attention(...)`            one-pass online-softmax attention.
-- `flash_attention(..., p_quant=)`  TWO-pass variant that applies the
-  reference's softmax-output fake-quant to the *normalized* probabilities
-  inside the kernel:  p_fq = delta * (clip(round(p/delta) + zp, 0, 2^b-1)
-  - zp)  — bit-matching `quantizer.fake_quant` with the asymmetric /
-  `always_zero` config used for `softmax_a_bit` — then accumulates
-  p_fq @ V. Fake-quant of a normalized probability cannot ride the
-  one-pass rescaling trick (it is non-linear in the running renormalizer),
-  so pass 1 computes the row max/denominator and pass 2 re-reads K to
-  quantize exact probabilities. Still O(Tq) HBM traffic.
+- `flash_attention(...)`                       one-pass online-softmax.
+- `flash_attention(..., p_quant=...)`          softmax-output fake-quant
+  (aqtizer_w) applied to exact *normalized* probabilities, which cannot
+  ride one-pass rescaling (non-linear in the running denominator): pass
+  1 computes row max/denominator, pass 2 re-reads K, quantizes exact
+  probabilities and accumulates p_fq @ V.
+- `flash_attention(..., qkv_quant=..., p_quant=...)`  the full TFMQ
+  deployment kernel: q/k/v are quantized to their act grids in VMEM
+  (never materialized in HBM), QK runs int8 with exact rank-1 zero-point
+  corrections, and PV runs int8 between softmax levels and v codes:
 
-Both kernels are forward-only: calibration paths that need gradients or
-activation statistics (AdaRound act phase, FSC init/EMA) keep the
-materialized einsum implementation; see ops/attention.py for dispatch.
+    fq(a)·fq(b) = da·db · (a'·b' - zb'·rowsum(a') - za'·colsum(b')
+                           + D·za'·zb')
+
+  with centered int8 codes a' = a_q - 2^{b-1} (same algebra as
+  ops/int_ops.py). Exactly bit-matches fake-quant + fp matmul up to fp
+  summation order.
+
+All matmuls accumulate fp32 from native operand dtype (bf16 or int8) —
+the MXU-native modes; upcasting operands to fp32 falls off the MXU fast
+path. Forward-only: calibration paths that need gradients or activation
+stats keep the materialized einsum (see ops/attention.py dispatch).
 """
 
 from __future__ import annotations
@@ -47,16 +56,22 @@ def _mask_cols(s, kb, block_k, tk_actual):
     return jnp.where(col < tk_actual, s, NEG_INF)
 
 
+def _quant_i8(x, delta, zp, nb, pb):
+    """Centered int8 act codes: clip(round(x/delta)+zp, nb, pb) - 128."""
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / delta) + zp, nb, pb)
+    return (xq - 128.0).astype(jnp.int8)
+
+
 def _fp_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, nk, tk_actual,
                sm_scale, out_dtype):
     """One-pass online-softmax flash attention for one (bh, q-block)."""
-    q = q_ref[0].astype(jnp.float32)
+    q = q_ref[0]
     bm, d = q.shape
 
     def body(kb, carry):
         m, l, acc = carry
-        ks = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        vs = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        ks = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        vs = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
@@ -66,7 +81,7 @@ def _fp_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, nk, tk_actual,
         p = jnp.exp(s - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, vs, (((1,), (0,)), ((), ())),
+            p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l, acc
 
@@ -77,86 +92,182 @@ def _fp_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, nk, tk_actual,
     o_ref[0] = (acc / l).astype(out_dtype)
 
 
-def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, *, block_k, nk,
-                  tk_actual, sm_scale, nb, pb, out_dtype):
-    """Two-pass: (1) row max + denominator; (2) fake-quant the normalized
-    probabilities (aqtizer_w semantics) and accumulate p_fq @ V."""
-    q = q_ref[0].astype(jnp.float32)
+def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, *,
+                  block_k, nk, tk_actual, sm_scale, nb, pb, out_dtype):
+    """Softmax-output quant (aqtizer_w) over exact normalized
+    probabilities. Scores are computed ONCE into a (block_q, Tk) fp32
+    VMEM scratch (fits: 2 MB at T=4096), then softmax + fake-quant run
+    as single whole-row sweeps — no recompute pass."""
+    q = q_ref[0]
     bm, d = q.shape
     delta = dz_ref[0]
     zp = dz_ref[1]
 
-    def scores(kb):
-        ks = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+    def fill(kb, _):
+        ks = k_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
-        return _mask_cols(s, kb, block_k, tk_actual)
+        s_scr[:, pl.ds(kb * block_k, block_k)] = _mask_cols(
+            s, kb, block_k, tk_actual)
+        return 0
 
-    def pass1(kb, carry):
-        m, l = carry
-        s = scores(kb)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new), axis=-1,
-                                             keepdims=True)
-        return m_new, l
+    jax.lax.fori_loop(0, nk, fill, 0)
+    s_all = s_scr[:, :]
+    m = jnp.max(s_all, axis=-1, keepdims=True)
+    p = jnp.exp(s_all - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p_q = jnp.clip(jnp.round(p / (l * delta)) + zp, nb, pb)
+    p_fq = delta * (p_q - zp)                 # quantizer.fake_quant
+    s_scr[:, :] = p_fq
 
-    m0 = jnp.full((bm, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bm, 1), jnp.float32)
-    m, l = jax.lax.fori_loop(0, nk, pass1, (m0, l0))
-
-    def pass2(kb, acc):
-        s = scores(kb)
-        p = jnp.exp(s - m) / l                # exact softmax prob
-        p_q = jnp.clip(jnp.round(p / delta) + zp, nb, pb)
-        p_fq = delta * (p_q - zp)             # quantizer.fake_quant
-        vs = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+    def pv(kb, acc):
+        vs = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        pf = s_scr[:, pl.ds(kb * block_k, block_k)]
         return acc + jax.lax.dot_general(
-            p_fq, vs, (((1,), (0,)), ((), ())),
+            pf.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    acc = jax.lax.fori_loop(0, nk, pass2, jnp.zeros((bm, d), jnp.float32))
+    acc = jax.lax.fori_loop(0, nk, pv, jnp.zeros((bm, d), jnp.float32))
     o_ref[0] = acc.astype(out_dtype)
 
 
+def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, o_ref,
+                 s_scr, *, block_k, nk, tk_actual, sm_scale, d_actual,
+                 w_range, quant_w, out_dtype):
+    """Full deployment kernel over PRE-quantized operands: q8 (bq, d),
+    kT8 (d, tk) — K transposed in HBM so both matmuls are standard
+    (M,K)x(K,N) int8 MXU ops (an in-kernel int8 transpose falls off the
+    fast path) — v8 (tk, d), plus precomputed row sums for the exact
+    rank-1 zero-point corrections. Optional softmax-output quant as
+    integer levels, so PV stays int8.
+
+    sc_ref (SMEM, fp32): [dq, zq, dk, zk, dv, zv, dw, zw].
+    qs_ref: (bq, 1) fp32 Σ_d q8;  ks_ref: (1, tk) fp32 Σ_d k8.
+    """
+    dq, zq = sc_ref[0], sc_ref[1]
+    dk, zk = sc_ref[2], sc_ref[3]
+    dv, zv = sc_ref[4], sc_ref[5]
+    dw, zw = sc_ref[6], sc_ref[7]
+    zq_c, zk_c, zv_c = zq - 128.0, zk - 128.0, zv - 128.0
+    q8 = q_ref[0]
+    bm = q8.shape[0]
+    qsum = qs_ref[0]                                       # (bm, 1)
+
+    def scores(kb):
+        kt = kt_ref[0, :, pl.ds(kb * block_k, block_k)]
+        acc = jax.lax.dot_general(
+            q8, kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        ksum = ks_ref[0, :, pl.ds(kb * block_k, block_k)]  # (1, bk)
+        # fq(q)·fq(k) = dq dk (q8·k8 - zk'·Σq8 - zq'·Σk8 + D zq' zk')
+        s = dq * dk * (acc - zk_c * qsum - zq_c * ksum
+                       + d_actual * zq_c * zk_c) * sm_scale
+        return _mask_cols(s, kb, block_k, tk_actual)
+
+    if quant_w:
+        wnb, wpb = w_range
+
+        def fill(kb, _):
+            s_scr[:, pl.ds(kb * block_k, block_k)] = scores(kb)
+            return 0
+
+        jax.lax.fori_loop(0, nk, fill, 0)
+        s_all = s_scr[:, :]
+        m = jnp.max(s_all, axis=-1, keepdims=True)
+        p = jnp.exp(s_all - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p_q = jnp.clip(jnp.round(p / (l * dw)) + zw, wnb, wpb)  # levels
+        s_scr[:, :] = p_q - 128.0
+
+        def pv(kb, acc):
+            p8 = s_scr[:, pl.ds(kb * block_k, block_k)].astype(jnp.int8)
+            psum = jnp.sum(p8.astype(jnp.int32), axis=-1,
+                           keepdims=True).astype(jnp.float32)
+            v8 = v_ref[0, pl.ds(kb * block_k, block_k), :]
+            pvi = jax.lax.dot_general(
+                p8, v8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            vsum = jnp.sum(v8.astype(jnp.int32), axis=0,
+                           keepdims=True).astype(jnp.float32)  # (1, d)
+            # Σ_j dw·dv·(p_q - zw)(v_q - zv), with p8 = p_q - 128 and
+            # v8 = v_q - 128:  (p8 + (128-zw))·(v8 - zv')
+            #  = p8·v8 - zv'·Σ_j p8 + (128-zw)·Σ_j v8
+            #    - (128-zw)·zv'·block_k
+            # (masked/padded columns have p_q == zw, contributing 0)
+            corr = (pvi - zv_c * psum + (128.0 - zw) * vsum
+                    - (128.0 - zw) * zv_c * float(block_k))
+            return acc + dw * dv * corr
+
+        acc = jax.lax.fori_loop(0, nk, pv,
+                                jnp.zeros((bm, q8.shape[1]), jnp.float32))
+        o_ref[0] = acc.astype(out_dtype)
+    else:
+        # no softmax quant: probabilities stay fp; PV runs int8 between
+        # rescaled p levels and v8? No — p is continuous here, so PV is
+        # p (native dtype) x dequantized v8, dequant fused in-kernel.
+        def body(kb, carry):
+            m, l, acc = carry
+            s = scores(kb)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            v8 = v_ref[0, pl.ds(kb * block_k, block_k), :]
+            vdq = (dv * (v8.astype(jnp.float32) - zv_c)
+                   ).astype(out_dtype)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(out_dtype), vdq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l, acc
+
+        m0 = jnp.full((bm, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bm, 1), jnp.float32)
+        a0 = jnp.zeros((bm, q8.shape[1]), jnp.float32)
+        _, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
+        o_ref[0] = (acc / l).astype(out_dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "bits", "qrange", "block_q",
-                              "block_k", "interpret"))
-def _flash_call(q, k, v, dz, *, sm_scale, bits, qrange, block_q, block_k,
-                interpret):
+    jax.jit, static_argnames=("sm_scale", "qrange", "ranges", "block_q",
+                              "block_k", "interpret", "mode"))
+def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
+                block_k, interpret, mode):
     bh, tq, d = q.shape
     tk = k.shape[1]
-    dp = _round_up(d, 128)
     tqp = _round_up(tq, block_q)
     tkp = _round_up(tk, block_k)
-    qp = jnp.pad(q, ((0, 0), (0, tqp - tq), (0, dp - d)))
-    kp = jnp.pad(k, ((0, 0), (0, tkp - tk), (0, dp - d)))
-    vp = jnp.pad(v, ((0, 0), (0, tkp - tk), (0, dp - d)))
+    # D is NOT padded: Mosaic pads the lane dim in VMEM; padding in HBM
+    # would materialize a full copy (6+ ms/step at SD scale).
+    qp = jnp.pad(q, ((0, 0), (0, tqp - tq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, tkp - tk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, tkp - tk), (0, 0)))
     nk = tkp // block_k
     grid = (bh, tqp // block_q)
     tensor_specs = [
-        pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
+        pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tkp, dp), lambda b, i: (b, 0, 0),
+        pl.BlockSpec((1, tkp, d), lambda b, i: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tkp, dp), lambda b, i: (b, 0, 0),
+        pl.BlockSpec((1, tkp, d), lambda b, i: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
+    out_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bh, tqp, d), q.dtype)
     cost = pl.CostEstimate(
-        flops=(2 if dz is None else 3) * 2 * bh * tqp * tkp * dp,
-        bytes_accessed=4 * bh * (tqp * dp * 2 + tkp * dp * 2),
-        transcendentals=bh * tqp * tkp * (1 if dz is None else 2))
-    if dz is None:
+        flops=(2 if mode == "fp" else 3) * 2 * bh * tqp * tkp * d,
+        bytes_accessed=4 * bh * (tqp * d * 2 + tkp * d * 2),
+        transcendentals=bh * tqp * tkp * (1 if mode == "fp" else 2))
+    if mode == "fp":
         kern = functools.partial(
             _fp_kernel, block_k=block_k, nk=nk, tk_actual=tk,
             sm_scale=sm_scale, out_dtype=q.dtype)
         out = pl.pallas_call(
             kern, grid=grid, in_specs=tensor_specs, out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((bh, tqp, dp), q.dtype),
-            cost_estimate=cost, interpret=interpret)(qp, kp, vp)
-    else:
+            out_shape=out_shape, cost_estimate=cost,
+            interpret=interpret)(qp, kp, vp)
+    elif mode == "pquant":
         nb, pb = qrange
         kern = functools.partial(
             _quant_kernel, block_k=block_k, nk=nk, tk_actual=tk,
@@ -164,28 +275,73 @@ def _flash_call(q, k, v, dz, *, sm_scale, bits, qrange, block_q, block_k,
             out_dtype=q.dtype)
         out = pl.pallas_call(
             kern, grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tensor_specs,
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((bh, tqp, dp), q.dtype),
-            cost_estimate=cost, interpret=interpret)(dz, qp, kp, vp)
-    return out[:, :tq, :d]
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + tensor_specs,
+            out_specs=out_spec, out_shape=out_shape, cost_estimate=cost,
+            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32)],
+            interpret=interpret)(dz, qp, kp, vp)
+    else:  # "int8"
+        # Quantize to int8 codes OUTSIDE the kernel (one fused XLA
+        # elementwise pass; halves kernel DMA) and pre-transpose K so
+        # both matmuls are standard (M,K)x(K,N) — an in-kernel int8
+        # transpose falls off the MXU fast path.
+        (qnb, qpb), (knb, kpb), (vnb, vpb) = ranges
+        q8 = _quant_i8(qp, sc[0], sc[1], qnb, qpb)
+        k8 = _quant_i8(kp, sc[2], sc[3], knb, kpb)
+        v8 = _quant_i8(vp, sc[4], sc[5], vnb, vpb)
+        kt8 = jnp.swapaxes(k8, 1, 2)
+        qsum = jnp.sum(q8.astype(jnp.int32), axis=-1,
+                       keepdims=True).astype(jnp.float32)
+        ksum = jnp.sum(k8.astype(jnp.int32),
+                       axis=-1).astype(jnp.float32)[:, None, :]
+        kern = functools.partial(
+            _int8_kernel, block_k=block_k, nk=nk, tk_actual=tk,
+            sm_scale=sm_scale, d_actual=float(d),
+            w_range=(None if qrange is None else
+                     (float(qrange[0]), float(qrange[1]))),
+            quant_w=qrange is not None, out_dtype=q.dtype)
+        out = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, tkp), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tkp, d), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tkp), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec, out_shape=out_shape, cost_estimate=cost,
+            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32)],
+            interpret=interpret)(sc, q8, kt8, v8, qsum, ksum)
+    return out[:, :tq, :]
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     sm_scale: float = 1.0,
                     p_quant: Optional[Tuple] = None,
-                    bits: int = 8,
+                    qkv_quant: Optional[Tuple] = None,
                     qrange: Optional[Tuple[int, int]] = None,
-                    block_q: int = 128, block_k: int = 128,
+                    qkv_ranges: Optional[Tuple] = None,
+                    block_q: int = 128, block_k: int = 512,
                     interpret: bool = False) -> jax.Array:
     """Blockwise attention over (B, H, T, D) tensors.
 
     ``p_quant``: optional (delta, zp) traced scalars — fake-quants the
-    softmax probabilities exactly like `fake_quant(p, delta, zp, QCfg(
-    bits, asymmetric/always_zero))` before the value matmul (the
-    reference's `aqtizer_w`, quant_block.py:273-278). ``qrange`` defaults
-    to the asymmetric/always_zero clamp (0, 2^bits - 1).
-    Head dim and sequence lengths are padded internally; any D works.
+    softmax probabilities exactly like `fake_quant(p, delta, zp,
+    QCfg(...))` before the value matmul (the reference's `aqtizer_w`).
+    ``qrange`` is its clamp range, default (0, 255) (asymmetric /
+    always_zero).
+
+    ``qkv_quant``: optional ((dq,zq), (dk,zk), (dv,zv)) traced scalars —
+    the aqtizer_q/k/v grids. When given, q/k/v are quantized in-kernel
+    and BOTH matmuls execute int8 on the MXU with exact zero-point
+    corrections. ``qkv_ranges``: clamp ranges, default asymmetric
+    (0, 255) each.
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
@@ -194,15 +350,33 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     vf = v.reshape(b * h, tk, d)
     bq = min(block_q, _round_up(tq, 128))
     bk = min(block_k, _round_up(tk, 128))
-    if p_quant is None:
-        dz = None
-    else:
+    if qrange is None and p_quant is not None:
+        qrange = (0, 255)
+    if qkv_quant is not None:
+        if qkv_ranges is None:
+            qkv_ranges = ((0, 255),) * 3
+        (dq_, zq_), (dk_, zk_), (dv_, zv_) = qkv_quant
+        dw_, zw_ = p_quant if p_quant is not None else (1.0, 0.0)
+        sc = jnp.stack([jnp.asarray(a, jnp.float32).reshape(())
+                        for a in (dq_, zq_, dk_, zk_, dv_, zv_,
+                                  dw_, zw_)])
+        out = _flash_call(qf, kf, vf, None, sc, sm_scale=float(sm_scale),
+                          qrange=None if p_quant is None
+                          else tuple(qrange),
+                          ranges=tuple(tuple(r) for r in qkv_ranges),
+                          block_q=bq, block_k=bk, interpret=interpret,
+                          mode="int8")
+    elif p_quant is not None:
         delta, zp = p_quant
         dz = jnp.stack([jnp.asarray(delta, jnp.float32).reshape(()),
                         jnp.asarray(zp, jnp.float32).reshape(())])
-    if qrange is None:
-        qrange = (0, 2 ** bits - 1)
-    out = _flash_call(qf, kf, vf, dz, sm_scale=float(sm_scale), bits=bits,
-                      qrange=tuple(qrange), block_q=bq, block_k=bk,
-                      interpret=interpret)
+        out = _flash_call(qf, kf, vf, dz, None, sm_scale=float(sm_scale),
+                          qrange=tuple(qrange), ranges=None,
+                          block_q=bq, block_k=bk, interpret=interpret,
+                          mode="pquant")
+    else:
+        out = _flash_call(qf, kf, vf, None, None,
+                          sm_scale=float(sm_scale), qrange=None,
+                          ranges=None, block_q=bq, block_k=bk,
+                          interpret=interpret, mode="fp")
     return out.reshape(b, h, tq, d)

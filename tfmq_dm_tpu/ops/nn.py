@@ -50,10 +50,12 @@ def group_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     c = x.shape[-1]
     g = groups
     dt = x.dtype
-    # (B, H*W, g, c/g) — reduce over (H*W, c/g) per group; stats in f32
+    # (B, H*W, g, c/g) — reduce over (H*W, c/g) per group; stats in f32.
+    # E[x] and E[x^2] in a single fused pass (jnp.var would re-reduce).
     xg = x.astype(jnp.float32).reshape(x.shape[0], -1, g, c // g)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    m2 = jnp.mean(xg * xg, axis=(1, 3), keepdims=True)
+    var = jnp.maximum(m2 - mean * mean, 0.0)
     xn = (xg - mean) * lax.rsqrt(var + eps)
     xn = xn.reshape(x.shape).astype(dt)
     return xn * gamma + beta

@@ -53,7 +53,7 @@ def _int8_mm_kernel(sc_ref, x_ref, wq_ref, dly_ref, zpc_ref, wsum_ref,
 
     dx = sc_ref[0]
     zp_xc = sc_ref[1]
-    x = x_ref[:]                                   # (bm, bk) f32
+    x = x_ref[:].astype(jnp.float32)               # (bm, bk); bf16 DMA
     # per-tensor act quantization to centered int8
     x_q = jnp.clip(jnp.round(x / dx) + (zp_xc + 128.0), 0.0, 255.0) - 128.0
     x_q8 = x_q.astype(jnp.int8)
@@ -69,7 +69,8 @@ def _int8_mm_kernel(sc_ref, x_ref, wq_ref, dly_ref, zpc_ref, wsum_ref,
         wsum = wsum_ref[:]                         # (1, bn)
         corr = (acc_ref[:] - zpc * xsum_ref[:] - zp_xc * wsum
                 + k_red * zp_xc * zpc)
-        o_ref[:] = (dx * dly_ref[:]) * corr + b_ref[:]
+        o_ref[:] = ((dx * dly_ref[:]) * corr
+                    + b_ref[:]).astype(o_ref.dtype)
 
 
 def int8_matmul_fused(x: jax.Array, w_q: jax.Array, delta_w: jax.Array,
@@ -113,19 +114,19 @@ def int8_matmul_fused(x: jax.Array, w_q: jax.Array, delta_w: jax.Array,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
                         pltpu.VMEM((bm, 1), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
-            bytes_accessed=m * k * 4 + k * n + m * n * 4,
+            bytes_accessed=m * k * 2 + k * n + m * n * 2,
             transcendentals=0),
-    )(scalars, x.astype(jnp.float32), w_q,
+    )(scalars, x, w_q,
       delta_w.reshape(1, n).astype(jnp.float32),
       zp_wc.reshape(1, n).astype(jnp.float32),
       wsum.reshape(1, n).astype(jnp.float32),
       bias.reshape(1, n).astype(jnp.float32))
-    return out.astype(out_dtype)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,11 @@ def qlinear(qctx: Optional[QuantCtx], name: str, x: jax.Array,
         ast = qctx.astate.get(name) if qctx.use_aq and pol.aq else None
         out_dtype = qctx.act_out_dtype or x.dtype
         if ast is not None:
+            # NOTE: the fused Pallas GEMM (ops/pallas_kernels.
+            # int8_matmul_fused) measured SLOWER than XLA's native int8
+            # dot_general here (XLA's int8 GEMM runs at ~88% of the MXU
+            # int8 peak and fuses the quantize/dequant epilogues); the
+            # kernel is kept for the packed-int4 weight-only path.
             x_q, zp_xc = int_ops.quantize_act_int8(x, ast["delta"],
                                                    ast["zp"], pol.a_cfg)
             return int_ops.int8_linear(x_q, zp_xc, ast["delta"], iw, b,
