@@ -68,6 +68,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--num_images", type=int, default=64)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--npz", action="store_true", help="dump npz for FID")
+    p.add_argument("--interpolation", action="store_true",
+                   help="slerp trajectory between two random latents "
+                        "(the reference's --interpolation mode)")
     # conditioning inputs
     p.add_argument("--prompt", default=None)
     p.add_argument("--from-file", dest="from_file", default=None,
@@ -144,6 +147,12 @@ def main(argv=None) -> int:
 
     # ---- load FP model ----
     if task.family == "ddim":
+        if not os.path.exists(args.ckpt):
+            # registry name (e.g. "ema_cifar10"): resolve from the
+            # md5-verified pretrained-DDPM cache (ckpt_util parity)
+            from .pipelines.ckpt_util import URLS, get_ckpt_path
+            if args.ckpt.replace("church_outdoor", "church") in URLS:
+                args.ckpt = get_ckpt_path(args.ckpt, check=True)
         params = loading.load_ddim_checkpoint(args.ckpt, task.unet)
         vae_params = cond_params = None
 
@@ -250,14 +259,24 @@ def main(argv=None) -> int:
         def model_fn(b, x, t, step):
             return apply_q(b, x, t, None, step)
 
-    logger.info("sampling %d images (batch %d)", n, args.batch)
     t0 = time.time()
-    sampling.sample_fid(
-        task, sampler_fn, model_fn, n_images=n, batch_size=args.batch,
-        key=key, out_dir=os.path.join(args.out, "img"),
-        vae_params=vae_params, bundle=bundle,
-        npz_path=os.path.join(args.out, "samples.npz") if args.npz
-        else None)
+    if args.interpolation:
+        logger.info("slerp interpolation (%d frames)", args.batch)
+        sampling.sample_interpolation(
+            task, sampler_fn,
+            lambda x, t, s: model_fn(bundle, x, t, s),
+            key=key, n_interp=args.batch,
+            out_dir=os.path.join(args.out, "img"),
+            vae_params=vae_params)
+    else:
+        logger.info("sampling %d images (batch %d)", n, args.batch)
+        sampling.sample_fid(
+            task, sampler_fn, model_fn, n_images=n,
+            batch_size=args.batch, key=key,
+            out_dir=os.path.join(args.out, "img"),
+            vae_params=vae_params, bundle=bundle,
+            npz_path=os.path.join(args.out, "samples.npz") if args.npz
+            else None)
     logger.info("done in %.1f min", (time.time() - t0) / 60)
     return 0
 

@@ -48,9 +48,10 @@ def slerp(z1: jax.Array, z2: jax.Array, alpha) -> jax.Array:
 def sample_interpolation(task: TaskConfig, sampler_fn: Callable,
                          model_fn: Callable, *, key: jax.Array,
                          n_interp: int = 8,
-                         out_dir: Optional[str] = None) -> np.ndarray:
+                         out_dir: Optional[str] = None,
+                         vae_params: Optional[dict] = None) -> np.ndarray:
     """Generate a slerp trajectory between two random latents (the
-    reference's --interpolation mode)."""
+    reference's --interpolation mode, ddim/runners/diffusion.py)."""
     shape = (task.unet.resolution if task.family == "ddim"
              else task.unet.image_size)
     cin = task.unet.in_channels
@@ -60,6 +61,8 @@ def sample_interpolation(task: TaskConfig, sampler_fn: Callable,
     alphas = jnp.linspace(0.0, 1.0, n_interp)
     x0 = jnp.concatenate([slerp(z1, z2, a) for a in alphas])
     out = sampler_fn(model_fn, x0, k3)
+    if vae_params is not None:
+        out = vae_mod.decode(vae_params, task.vae, out)
     out = np.asarray(inverse_data_transform(out))
     if out_dir:
         save_images(out, out_dir, 0)
