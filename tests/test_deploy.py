@@ -81,3 +81,24 @@ def test_deployed_rollout_matches_fake_quant(setup):
     # errors accumulate over steps; stays within sampling tolerance
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=0.05,
                                rtol=0.05)
+
+
+def test_int4_packed_linear_weight_only():
+    """Int4Weight pack/unpack == the unpacked dequant, and the qlinear
+    CPU fallback == fake-quant linear (weight-only w4)."""
+    import numpy as np
+
+    from tfmq_dm_tpu.ops import int_ops
+    from tfmq_dm_tpu.quant.deploy import _pack_linear_int4, dequant_int4
+    from tfmq_dm_tpu.quant.quantizer import QCfg, init_qparams
+
+    cfg = QCfg(bits=4, channel_wise=True)
+    k, n = 64, 320   # n not a multiple of the pack tile -> padding path
+    w = jax.random.normal(jax.random.PRNGKey(7), (k, n))
+    delta, zp = init_qparams(w, cfg, scaler="minmax")
+    iw = int_ops.quantize_weight_int(w, delta, zp, cfg)
+    iw4 = _pack_linear_int4(iw)
+    assert iw4.n == n and iw4.w_packed.shape == (k, iw4.delta.shape[0] // 2)
+    np.testing.assert_allclose(
+        np.asarray(dequant_int4(iw4)),
+        np.asarray(int_ops.dequant_weight(iw)), atol=1e-6, rtol=1e-6)

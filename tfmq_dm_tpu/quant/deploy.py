@@ -9,10 +9,12 @@ fake-quant semantics (see ops/int_ops.py).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import int_ops
 from .adapter import ModelAdapter
@@ -20,20 +22,84 @@ from .context import QuantCtx
 from .fsc import slice_fsc
 from .policy import QuantPolicy
 
+PACK_BLOCK_N = 256
 
-def deploy_weights(policy: QuantPolicy, params, wstate: Dict
-                   ) -> Dict[str, int_ops.IntWeight]:
+
+@dataclasses.dataclass
+class Int4Weight:
+    """Packed 4-bit linear weight for the weight-only deployment path:
+    codes stay packed (2 nibbles/byte) in HBM — half the weight
+    bandwidth of int8 — and dequant to bf16 per tile in VMEM
+    (ops/pallas_kernels.int4_matmul_dequant). N is zero-padded to the
+    pack tile; ``n`` is the real output width."""
+
+    w_packed: jax.Array     # (K, Np//2) int8, pack_int4 tile layout
+    delta: jax.Array        # (Np,) per-channel scale (pad: 1.0)
+    zp_c: jax.Array         # (Np,) centered zero point (zp - 8; pad: 0)
+    k: int
+    n: int                  # real (unpadded) output channels
+    block_n: int
+
+
+jax.tree_util.register_dataclass(
+    Int4Weight, data_fields=("w_packed", "delta", "zp_c"),
+    meta_fields=("k", "n", "block_n"))
+
+
+def _pack_linear_int4(iw: int_ops.IntWeight) -> Int4Weight:
+    from ..ops.pallas_kernels import pack_int4
+    w_q = np.asarray(iw.w_q)           # (K, N) centered codes in [-8, 7]
+    k, n = w_q.shape
+    npad = -(-n // PACK_BLOCK_N) * PACK_BLOCK_N
+    if npad != n:
+        w_q = np.pad(w_q, ((0, 0), (0, npad - n)))
+    delta = np.pad(np.asarray(iw.delta), (0, npad - n),
+                   constant_values=1.0)
+    # pad channels: codes 0, zp_c 0 -> w_dq = 0
+    zp_c = np.pad(np.asarray(iw.zp_c), (0, npad - n))
+    return Int4Weight(
+        w_packed=pack_int4(w_q, block_n=PACK_BLOCK_N),
+        delta=jnp.asarray(delta, jnp.float32),
+        zp_c=jnp.asarray(zp_c, jnp.float32),
+        k=k, n=n, block_n=PACK_BLOCK_N)
+
+
+def dequant_int4(iw: Int4Weight, dtype=jnp.float32) -> jax.Array:
+    """XLA-side unpack + dequant (CPU fallback / testing)."""
+    from ..ops.pallas_kernels import _unpack_int4
+    half = iw.block_n // 2
+    k, npk = iw.w_packed.shape
+    tiles = []
+    for j in range(npk // half):
+        tiles.append(_unpack_int4(iw.w_packed[:, j * half:(j + 1) * half]))
+    w_q = jnp.concatenate(tiles, axis=1).astype(jnp.float32)
+    w = iw.delta[None, :] * (w_q - iw.zp_c[None, :])
+    return w[:, :iw.n].astype(dtype)
+
+
+def deploy_weights(policy: QuantPolicy, params, wstate: Dict, *,
+                   pack_int4_linears: bool = True) -> Dict[str, object]:
     """Offline: quantize every wq-enabled layer's weights to centered
-    integers using the calibrated (delta, zp[, alpha])."""
+    integers using the calibrated (delta, zp[, alpha]). 4-bit LINEAR
+    weights are additionally nibble-packed (Int4Weight) so the deployed
+    model reads half the weight bytes."""
     deployed = {}
     for name in policy.weight_layers():
         pol = policy.get(name)
         st = wstate.get(name)
         if not pol.wq or st is None:
             continue
-        deployed[name] = int_ops.quantize_weight_int(
+        iw = int_ops.quantize_weight_int(
             params[name]["w"], st["delta"], st["zp"], pol.w_cfg,
             alpha=st.get("alpha"))
+        # pack only weight-only sites: with act quant on, the int8 MXU
+        # path (full int8 matmul) beats bf16-dequant at batch sizes
+        # where the GEMM is compute-bound
+        if (pack_int4_linears and pol.w_cfg.bits == 4
+                and iw.w_q.ndim == 2 and not pol.aq):
+            deployed[name] = _pack_linear_int4(iw)
+        else:
+            deployed[name] = iw
     return deployed
 
 

@@ -61,6 +61,27 @@ def qlinear(qctx: Optional[QuantCtx], name: str, x: jax.Array,
         pol = qctx.policy.get(name)
         ast = qctx.astate.get(name) if qctx.use_aq and pol.aq else None
         out_dtype = qctx.act_out_dtype or x.dtype
+        from .deploy import Int4Weight, dequant_int4
+        if isinstance(iw, Int4Weight):
+            # packed 4-bit weights: act fake-quant (if any) stays
+            # elementwise; the GEMM reads nibble-packed weights and
+            # dequants to bf16 in VMEM (half the weight bandwidth)
+            from ..quant.quantizer import fake_quant
+            if ast is not None:
+                x = fake_quant(x, ast["delta"], ast["zp"], pol.a_cfg)
+            if jax.default_backend() == "tpu":
+                from ..ops.pallas_kernels import int4_matmul_dequant
+                lead = x.shape[:-1]
+                m = 1
+                for s in lead:
+                    m *= s
+                bias = None if b is None else jnp.pad(
+                    b, (0, iw.delta.shape[0] - iw.n))
+                out = int4_matmul_dequant(
+                    x.reshape(m, iw.k), iw.w_packed, iw.delta, iw.zp_c,
+                    bias=bias, block_n=iw.block_n, out_dtype=out_dtype)
+                return out[:, :iw.n].reshape(lead + (iw.n,))
+            return fnn.linear(x, dequant_int4(iw, out_dtype), b)
         if ast is not None:
             # NOTE: the fused Pallas GEMM (ops/pallas_kernels.
             # int8_matmul_fused) measured SLOWER than XLA's native int8
