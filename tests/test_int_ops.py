@@ -122,3 +122,38 @@ def test_strided_conv():
                               pads=((0, 1), (0, 1)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-3, rtol=1e-4)
+
+
+def test_int8_conv_symmetric_weights():
+    """Symmetric weight grids (zp_w = 0): the deployed conv skips the
+    activation-windowed-sum correction yet stays exact vs fake-quant."""
+    wcfg = QCfg(bits=8, symmetric=True, channel_wise=True)
+    x, w, bias, _, (dx, zx) = _setup_conv(key=3)
+    dw, zw = init_qparams(w, wcfg, scaler="minmax")
+    x_dq = fake_quant(x, dx, zx, A_CFG)
+    w_dq = fake_quant(w, broadcast_channel(dw, w.shape),
+                      broadcast_channel(zw, w.shape), wcfg)
+    ref = fnn.conv2d(x_dq, w_dq, bias, padding="SAME")
+    iw = int_ops.quantize_weight_int(w, dw, zw, wcfg)
+    assert iw.sym and int(np.abs(np.asarray(iw.zp_c)).max()) == 0
+    x_q, zp_xc = int_ops.quantize_act_int8(x, dx, zx, A_CFG)
+    got = int_ops.int8_conv2d(x_q, zp_xc, dx, iw, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-5)
+
+
+def test_int8_linear_symmetric_weights():
+    wcfg = QCfg(bits=8, symmetric=True, channel_wise=True)
+    kx, kw = jax.random.split(jax.random.PRNGKey(4))
+    x = jax.random.normal(kx, (6, 32))
+    w = jax.random.normal(kw, (32, 48)) * 0.3
+    dw, zw = init_qparams(w, wcfg, scaler="minmax")
+    dx, zx = init_qparams(x, A_CFG, scaler="minmax")
+    ref = fnn.linear(fake_quant(x, dx, zx, A_CFG),
+                     fake_quant(w, broadcast_channel(dw, w.shape),
+                                broadcast_channel(zw, w.shape), wcfg))
+    iw = int_ops.quantize_weight_int(w, dw, zw, wcfg)
+    x_q, zp_xc = int_ops.quantize_act_int8(x, dx, zx, A_CFG)
+    got = int_ops.int8_linear(x_q, zp_xc, dx, iw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-5)

@@ -83,3 +83,20 @@ def test_int4_matmul_dequant_matches_reference():
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(ref, np.float32),
                                atol=0.15, rtol=0.02)
+
+
+def test_int8_matmul_pre_matches_int_ops():
+    """Pre-quantized variant (fused corrections/dequant epilogue)."""
+    x, w, b = _mk(m=96, k=192, n=320, key=2)
+    dw, zw = init_qparams(w, W8, scaler="minmax")
+    dx, zx = init_qparams(x, A8, scaler="minmax")
+    iw = int_ops.quantize_weight_int(w, dw, zw, W8)
+    x_q, zp_xc = int_ops.quantize_act_int8(x, dx, zx, A8)
+    ref = int_ops.int8_linear(x_q, zp_xc, dx, iw, b)
+    xsum = jnp.sum(x_q.astype(jnp.int32), axis=-1,
+                   keepdims=True).astype(jnp.float32)
+    got = pk.int8_matmul_pre(x_q, xsum, iw.w_q, iw.delta, iw.zp_c,
+                             iw.wsum, dx, zp_xc, b, block_m=32,
+                             block_n=128, block_k=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-4)

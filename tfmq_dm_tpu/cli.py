@@ -57,6 +57,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--cali_iters", type=int, default=20000)
     p.add_argument("--interval_length", type=int, default=None)
     p.add_argument("--no_running_stat", action="store_true")
+    p.add_argument("--w_sym", action="store_true",
+                   help="symmetric weight quantization grids (faster "
+                        "int8 deployment: no activation-sum correction)")
     p.add_argument("--int-kernels", dest="int_kernels",
                    action="store_true",
                    help="deploy real int8 MXU kernels")
@@ -171,7 +174,8 @@ def main(argv=None) -> int:
 
     qargs = ptq.QuantArgs(
         wq=args.wq, aq=args.aq, softmax_a_bit=args.softmax_a_bit,
-        use_aq=args.use_aq, running_stat=not args.no_running_stat,
+        use_aq=args.use_aq, w_sym=args.w_sym,
+        running_stat=not args.no_running_stat,
         iters=args.cali_iters, cali_save_path=args.cali_save_path,
         seed=args.seed)
     adapter = ptq.build_adapter(task, qargs) if args.ptq else None

@@ -241,10 +241,12 @@ def extract_uparams(cfg: ddim_unet.DDIMUNetConfig):
 def build_adapter(cfg: ddim_unet.DDIMUNetConfig,
                   policy: QuantPolicy = None,
                   w_bits: int = 4, a_bits: int = 8,
-                  softmax_a_bit: int = 8) -> ModelAdapter:
+                  softmax_a_bit: int = 8,
+                  w_sym: bool = False) -> ModelAdapter:
     if policy is None:
         policy = build_policy(ddim_unet.layer_infos(cfg), w_bits=w_bits,
-                              a_bits=a_bits, softmax_a_bit=softmax_a_bit)
+                              a_bits=a_bits, softmax_a_bit=softmax_a_bit,
+                              w_sym=w_sym)
 
     def forward(params, ctx, x, t, *rest):
         return ddim_unet.apply(params, cfg, x, t, ctx)

@@ -339,11 +339,12 @@ def extract_uparams(cfg: ldm_unet.LDMUNetConfig):
 def build_adapter(cfg: ldm_unet.LDMUNetConfig,
                   policy: QuantPolicy = None, *, w_bits: int = 4,
                   a_bits: int = 8, softmax_a_bit: int = 8,
-                  use_aq: bool = False) -> ModelAdapter:
+                  use_aq: bool = False,
+                  w_sym: bool = False) -> ModelAdapter:
     if policy is None:
         policy = build_policy(ldm_unet.layer_infos(cfg, use_aq=use_aq),
                               w_bits=w_bits, a_bits=a_bits,
-                              softmax_a_bit=softmax_a_bit)
+                              softmax_a_bit=softmax_a_bit, w_sym=w_sym)
 
     def forward(params, ctx, x, t, c=None, y=None):
         return ldm_unet.apply(params, cfg, x, t, context=c, y=y, qctx=ctx)

@@ -34,19 +34,23 @@ from ..quant.quantizer import QCfg, broadcast_channel
 @dataclasses.dataclass
 class IntWeight:
     """Deployment-quantized weight: centered int8 values + scales.
-    Registered as a pytree (k/bits static) so it crosses jit boundaries."""
+    Registered as a pytree (k/bits/sym static) so it crosses jit
+    boundaries. ``sym``: symmetric weight grid — the zero point is
+    structurally 0, so the activation-windowed-sum correction term
+    vanishes and the deployed ops skip computing it."""
 
-    w_q: jax.Array          # int8, centered (w_int - 2^{b-1})
+    w_q: jax.Array          # int8, centered (w_int - 2^{b-1}; sym: as-is)
     delta: jax.Array        # (O,) per-channel scale
     zp_c: jax.Array         # (O,) centered zero point, float (zp - 2^{b-1})
     wsum: jax.Array         # (O,) sum of centered int weights, int32
     k: int                  # reduction volume (kh*kw*Cin or Cin)
     bits: int
+    sym: bool = False
 
 
 jax.tree_util.register_dataclass(
     IntWeight, data_fields=("w_q", "delta", "zp_c", "wsum"),
-    meta_fields=("k", "bits"))
+    meta_fields=("k", "bits", "sym"))
 
 
 def quantize_weight_int(w: jax.Array, delta: jax.Array, zp: jax.Array,
@@ -55,8 +59,10 @@ def quantize_weight_int(w: jax.Array, delta: jax.Array, zp: jax.Array,
     """Offline weight quantization to the centered integer grid. With
     ``alpha``, uses AdaRound hard rounding (floor + (alpha>=0),
     adaptive_rounding.py:58-63) — the deployed weights are exactly the
-    calibrated ones."""
-    off = 2 ** (cfg.bits - 1)
+    calibrated ones. Symmetric grids (qrange already signed, zp = 0)
+    are stored as-is with ``sym=True``."""
+    sym = cfg.qrange[0] < 0
+    off = 0 if sym else 2 ** (cfg.bits - 1)
     d = broadcast_channel(delta, w.shape)
     if alpha is not None:
         w_int = jnp.floor(w / d) + (alpha >= 0)
@@ -73,7 +79,7 @@ def quantize_weight_int(w: jax.Array, delta: jax.Array, zp: jax.Array,
         zp_c=(zp.reshape(-1) - off).astype(jnp.float32),
         wsum=jnp.sum(w_q.astype(jnp.int32), axis=wsum_axes),
         k=int(jnp.prod(jnp.asarray(w.shape[:-1]))),
-        bits=cfg.bits)
+        bits=cfg.bits, sym=sym)
 
 
 def quantize_act_int8(x: jax.Array, delta: jax.Array, zp: jax.Array,
@@ -115,26 +121,27 @@ def int8_conv2d(x_q: jax.Array, zp_xc: jax.Array, dx: jax.Array,
     acc = lax.conv_general_dilated(
         x_q, iw.w_q, strides, pads, dimension_numbers=dn,
         preferred_element_type=jnp.int32)
-    # windowed sum of x_q': channel-reduce first (VPU), then a
-    # single-channel ones conv over the (kh, kw) window
-    xsum = jnp.sum(x_q.astype(jnp.int32), axis=-1, keepdims=True)
-    ones_k = jnp.ones((kh, kw, 1, 1), jnp.int32)
-    s = lax.conv_general_dilated(
-        xsum, ones_k, strides, pads, dimension_numbers=dn,
-        preferred_element_type=jnp.int32)
     # loop-invariant border maps (hoisted out of sampler scans)
     ones_x = jnp.ones((1,) + x_q.shape[1:3] + (cin,), jnp.int8)
     w_map = lax.conv_general_dilated(
         ones_x, iw.w_q, strides, pads, dimension_numbers=dn,
         preferred_element_type=jnp.int32).astype(jnp.float32)
-    v_map = lax.conv_general_dilated(
-        ones_x[..., :1].astype(jnp.int32), ones_k, strides, pads,
-        dimension_numbers=dn,
-        preferred_element_type=jnp.int32).astype(jnp.float32)
-    corr = (acc.astype(jnp.float32)
-            - iw.zp_c[None, None, None, :] * s.astype(jnp.float32)
-            - zp_xc * w_map
-            + (cin * zp_xc) * v_map * iw.zp_c[None, None, None, :])
+    corr = acc.astype(jnp.float32) - zp_xc * w_map
+    if not iw.sym:
+        # windowed sum of x_q': channel-reduce first (VPU), then a
+        # single-channel ones conv over the (kh, kw) window
+        xsum = jnp.sum(x_q.astype(jnp.int32), axis=-1, keepdims=True)
+        ones_k = jnp.ones((kh, kw, 1, 1), jnp.int32)
+        s = lax.conv_general_dilated(
+            xsum, ones_k, strides, pads, dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        v_map = lax.conv_general_dilated(
+            ones_x[..., :1].astype(jnp.int32), ones_k, strides, pads,
+            dimension_numbers=dn,
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        corr = (corr
+                - iw.zp_c[None, None, None, :] * s.astype(jnp.float32)
+                + (cin * zp_xc) * v_map * iw.zp_c[None, None, None, :])
     out = (dx * iw.delta)[None, None, None, :] * corr
     if b is not None:
         out = out + b
@@ -149,10 +156,11 @@ def int8_linear(x_q: jax.Array, zp_xc: jax.Array, dx: jax.Array,
     acc = jax.lax.dot_general(
         x_q, iw.w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32).astype(jnp.float32)
-    xsum = jnp.sum(x_q.astype(jnp.int32), axis=-1,
-                   keepdims=True).astype(jnp.float32)
-    corr = (acc - iw.zp_c * xsum - zp_xc * iw.wsum.astype(jnp.float32)
-            + iw.k * zp_xc * iw.zp_c)
+    corr = acc - zp_xc * iw.wsum.astype(jnp.float32)
+    if not iw.sym:
+        xsum = jnp.sum(x_q.astype(jnp.int32), axis=-1,
+                       keepdims=True).astype(jnp.float32)
+        corr = corr - iw.zp_c * xsum + iw.k * zp_xc * iw.zp_c
     out = (dx * iw.delta) * corr
     if b is not None:
         out = out + b

@@ -133,6 +133,93 @@ def int8_matmul_fused(x: jax.Array, w_q: jax.Array, delta_w: jax.Array,
 # int4 weight-only matmul: packed weights, dequant-to-bf16 in VMEM
 # ---------------------------------------------------------------------------
 
+def _int8_mm_pre_kernel(sc_ref, xq_ref, xs_ref, wq_ref, dly_ref, zpc_ref,
+                        wsum_ref, b_ref, o_ref, acc_ref):
+    """Like _int8_mm_kernel but over PRE-quantized int8 activations
+    (xq) with a precomputed row-sum (xs): the kernel is pure int8 MXU
+    accumulation + a fused corrections/dequant/bias epilogue, so the
+    int32 accumulator never round-trips HBM (XLA's int8 dot emits a
+    separate convert/multiply epilogue pass per GEMM)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        xq_ref[:], wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        dx = sc_ref[0]
+        zp_xc = sc_ref[1]
+        k_red = sc_ref[2]
+        zpc = zpc_ref[:]                           # (1, bn)
+        wsum = wsum_ref[:]                         # (1, bn)
+        corr = (acc_ref[:].astype(jnp.float32) - zpc * xs_ref[:]
+                - zp_xc * wsum + k_red * zp_xc * zpc)
+        o_ref[:] = ((dx * dly_ref[:]) * corr
+                    + b_ref[:]).astype(o_ref.dtype)
+
+
+def int8_matmul_pre(x_q: jax.Array, xsum: jax.Array, w_q: jax.Array,
+                    delta_w: jax.Array, zp_wc: jax.Array,
+                    wsum: jax.Array, dx, zp_xc,
+                    bias: Optional[jax.Array] = None,
+                    block_m: int = 512, block_n: int = 512,
+                    block_k: int = 512,
+                    out_dtype=jnp.float32) -> jax.Array:
+    """x_q: (M, K) centered int8 codes; xsum: (M, 1) fp32 row sums of
+    x_q; w_q: (K, N) centered int8; per-channel delta_w/zp_wc/wsum:
+    (N,); scalar act (dx, zp_xc). Exact zero-point-corrected GEMM with
+    the dequant epilogue fused into the MXU accumulation."""
+    m, k = x_q.shape
+    n = w_q.shape[1]
+    bm = min(block_m, m)
+    bn = min(block_n, n)
+    bk = min(block_k, k)
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    scalars = jnp.stack([jnp.asarray(dx, jnp.float32),
+                         jnp.asarray(zp_xc, jnp.float32),
+                         jnp.float32(k)])
+    grid = (_cdiv(m, bm), _cdiv(n, bn), _cdiv(k, bk))
+    return pl.pallas_call(
+        _int8_mm_pre_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + k * n + m * n * 2,
+            transcendentals=0),
+    )(scalars, x_q, xsum, w_q,
+      delta_w.reshape(1, n).astype(jnp.float32),
+      zp_wc.reshape(1, n).astype(jnp.float32),
+      wsum.reshape(1, n).astype(jnp.float32),
+      bias.reshape(1, n).astype(jnp.float32))
+
+
 def pack_int4(w_q: np.ndarray, block_n: int = 256) -> jax.Array:
     """Pack centered int4 values in [-8, 7], shape (K, N), into int8
     bytes (K, N//2), tile-blocked so the in-kernel unpack is a

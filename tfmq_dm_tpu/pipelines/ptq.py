@@ -38,6 +38,8 @@ class QuantArgs:
     aq: int = 8
     softmax_a_bit: int = 8
     use_aq: bool = False
+    w_sym: bool = False                   # symmetric weight grids: the
+    # deployed int kernels skip the activation-sum zero-point term
     running_stat: bool = True
     cali_n: Optional[int] = None          # samples per timestep
     iters: int = 20000
@@ -49,11 +51,13 @@ def build_adapter(task: TaskConfig, qargs: QuantArgs):
     if task.family == "ddim":
         return ddim_units.build_adapter(task.unet, w_bits=qargs.wq,
                                         a_bits=qargs.aq,
-                                        softmax_a_bit=qargs.softmax_a_bit)
+                                        softmax_a_bit=qargs.softmax_a_bit,
+                                        w_sym=qargs.w_sym)
     return ldm_units.build_adapter(task.unet, w_bits=qargs.wq,
                                    a_bits=qargs.aq,
                                    softmax_a_bit=qargs.softmax_a_bit,
-                                   use_aq=qargs.use_aq)
+                                   use_aq=qargs.use_aq,
+                                   w_sym=qargs.w_sym)
 
 
 def make_schedule(task: TaskConfig, steps: Optional[int] = None,

@@ -61,7 +61,8 @@ def build_policy(infos: List[LayerInfo],
                  w_bits: int = 4,
                  a_bits: int = 8,
                  softmax_a_bit: int = 8,
-                 exclude_first_last: bool = True) -> QuantPolicy:
+                 exclude_first_last: bool = True,
+                 w_sym: bool = False) -> QuantPolicy:
     """Build the default TFMQ policy from a model's layer inventory.
 
     Replicates ``QuantModel.disable_out_quantization`` (quant_model.py:
@@ -87,7 +88,8 @@ def build_policy(infos: List[LayerInfo],
         else:
             layers[info.name] = LayerPolicy(
                 wq=True, aq=True, recon=True, quant_emb=info.quant_emb,
-                w_cfg=QCfg(bits=w_bits, symmetric=False, channel_wise=True),
+                w_cfg=QCfg(bits=w_bits, symmetric=w_sym,
+                           channel_wise=True),
                 a_cfg=QCfg(bits=a_bits, symmetric=False, channel_wise=False))
             order.append(info.name)
 

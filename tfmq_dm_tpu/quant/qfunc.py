@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..ops import int_ops
 from ..ops import nn as fnn
@@ -83,11 +84,15 @@ def qlinear(qctx: Optional[QuantCtx], name: str, x: jax.Array,
                 return out[:, :iw.n].reshape(lead + (iw.n,))
             return fnn.linear(x, dequant_int4(iw, out_dtype), b)
         if ast is not None:
-            # NOTE: the fused Pallas GEMM (ops/pallas_kernels.
-            # int8_matmul_fused) measured SLOWER than XLA's native int8
-            # dot_general here (XLA's int8 GEMM runs at ~88% of the MXU
-            # int8 peak and fuses the quantize/dequant epilogues); the
-            # kernel is kept for the packed-int4 weight-only path.
+            # NOTE: two hand-written Pallas GEMMs were benchmarked here
+            # and both LOST to XLA's native int8 dot_general (~88% of
+            # MXU int8 peak, epilogues fused by the compiler):
+            # int8_matmul_fused (quantize in-kernel; re-quantizes per
+            # output block) and int8_matmul_pre (pre-quantized codes,
+            # corrections fused into the MXU epilogue) — SD v1.4 w8a8
+            # step 57 -> 44 / 48 img-steps/s respectively. Both kernels
+            # are kept, exactness-tested, for shapes where XLA's
+            # scheduling loses (and for the packed-int4 path).
             x_q, zp_xc = int_ops.quantize_act_int8(x, ast["delta"],
                                                    ast["zp"], pol.a_cfg)
             return int_ops.int8_linear(x_q, zp_xc, ast["delta"], iw, b,
