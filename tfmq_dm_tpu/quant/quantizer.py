@@ -61,10 +61,13 @@ def ste_round(x: jax.Array) -> jax.Array:
 
 def fake_quant(x: jax.Array, delta: jax.Array, zero_point: jax.Array,
                cfg: QCfg) -> jax.Array:
-    """Quantize-dequantize with STE gradients (quant_layer.py:223-227)."""
+    """Quantize-dequantize with STE gradients (quant_layer.py:223-227).
+    Preserves x's dtype: fp32 quantizer params would otherwise promote
+    a bf16 inference path to fp32 wholesale (2x HBM, off the fast VPU
+    path). The q/dq arithmetic itself runs in the promoted precision."""
     nb, pb = cfg.qrange
     x_q = jnp.clip(ste_round(x / delta) + zero_point, nb, pb)
-    return delta * (x_q - zero_point)
+    return (delta * (x_q - zero_point)).astype(x.dtype)
 
 
 def quant_int(x: jax.Array, delta: jax.Array, zero_point: jax.Array,
