@@ -74,6 +74,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--interpolation", action="store_true",
                    help="slerp trajectory between two random latents "
                         "(the reference's --interpolation mode)")
+    p.add_argument("--grid", action="store_true",
+                   help="also write one tiled grid.png (txt2img grids)")
+    p.add_argument("--watermark", action="store_true",
+                   help="embed the invisible provenance watermark "
+                        "(txt2img put_watermark)")
     # conditioning inputs
     p.add_argument("--prompt", default=None)
     p.add_argument("--from-file", dest="from_file", default=None,
@@ -280,6 +285,8 @@ def main(argv=None) -> int:
             out_dir=os.path.join(args.out, "img"),
             vae_params=vae_params, bundle=bundle,
             npz_path=os.path.join(args.out, "samples.npz") if args.npz
+            else None, watermark=args.watermark,
+            grid_path=os.path.join(args.out, "grid.png") if args.grid
             else None)
     logger.info("done in %.1f min", (time.time() - t0) / 60)
     return 0

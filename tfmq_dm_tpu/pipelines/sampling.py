@@ -29,11 +29,34 @@ def inverse_data_transform(x: jax.Array) -> jax.Array:
     return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
 
 
-def save_images(images: np.ndarray, out_dir: str, start: int) -> None:
+def save_images(images: np.ndarray, out_dir: str, start: int,
+                watermark: bool = False) -> None:
     from ..native import write_png_batch
     os.makedirs(out_dir, exist_ok=True)
     arr = (np.asarray(images) * 255.0).round().astype(np.uint8)
+    if watermark:
+        from ..utils import watermark as wm
+        arr = np.stack([wm.embed(im) for im in arr])
     write_png_batch(arr, out_dir, start)
+
+
+def save_grid(images: np.ndarray, path: str,
+              n_rows: Optional[int] = None) -> None:
+    """Tile [0,1] images into one grid PNG (the reference's txt2img
+    grid-xxxx.png output via make_grid, txt2img.py:575-585)."""
+    import math
+
+    from PIL import Image
+    arr = (np.asarray(images) * 255.0).round().astype(np.uint8)
+    n, h, w, c = arr.shape
+    rows = n_rows or int(math.floor(math.sqrt(n))) or 1
+    cols = -(-n // rows)
+    grid = np.zeros((rows * h, cols * w, c), np.uint8)
+    for i, im in enumerate(arr):
+        r, q = divmod(i, cols)
+        grid[r * h:(r + 1) * h, q * w:(q + 1) * w] = im
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(grid).save(path)
 
 
 def slerp(z1: jax.Array, z2: jax.Array, alpha) -> jax.Array:
@@ -74,7 +97,8 @@ def sample_fid(task: TaskConfig, sampler_fn: Callable, model_fn: Callable,
                out_dir: Optional[str] = None,
                vae_params: Optional[dict] = None,
                npz_path: Optional[str] = None,
-               bundle=None) -> np.ndarray:
+               bundle=None, watermark: bool = False,
+               grid_path: Optional[str] = None) -> np.ndarray:
     """Generate ``n_images`` with the given sampler; returns the
     (N,H,W,C) uint8-convertible array in [0,1] and optionally writes
     PNGs + a single npz (the reference's FID evaluation protocol).
@@ -112,11 +136,14 @@ def sample_fid(task: TaskConfig, sampler_fn: Callable, model_fn: Callable,
         logger.info("batch %d: %.2f imgs/s (throughput)", done // batch_size,
                     b / dt)
         if out_dir:
-            save_images(out, out_dir, done)
+            save_images(out, out_dir, done, watermark=watermark)
         all_imgs.append(out)
         done += b
     imgs = np.concatenate(all_imgs)[:n_images]
     if npz_path:
         np.savez(npz_path, arr_0=(imgs * 255).round().astype(np.uint8))
         logger.info("npz written to %s", npz_path)
+    if grid_path:
+        save_grid(imgs, grid_path)
+        logger.info("grid written to %s", grid_path)
     return imgs
