@@ -69,6 +69,19 @@ def _ddim_lsun(name, resolution=256) -> TaskConfig:
         sampler="generalized", steps=100, eta=0.0, skip_type="uniform")
 
 
+def ddim_celeba64() -> TaskConfig:
+    """ddim/configs/celeba.yml: 64^2, ch_mult (1,2,2,2,4), attn@16."""
+    unet = ddim_unet.DDIMUNetConfig(
+        resolution=64, in_channels=3, out_ch=3, ch=128,
+        ch_mult=(1, 2, 2, 2, 4), num_res_blocks=2,
+        attn_resolutions=(16,))
+    return TaskConfig(
+        name="ddim_celeba64", family="ddim", unet=unet,
+        beta_start=0.0001, beta_end=0.02,
+        sampler="generalized", steps=100, eta=0.0, skip_type="uniform",
+        cali_n=256, interval_length=5)
+
+
 def ddim_lsun_bedroom() -> TaskConfig:
     return _ddim_lsun("ddim_lsun_bedroom")
 
@@ -170,6 +183,7 @@ TASKS = {
     "tiny_ddim": tiny_ddim,
     "tiny_ldm": tiny_ldm,
     "tiny_cin": tiny_cin,
+    "ddim_celeba64": ddim_celeba64,
     "ddim_lsun_bedroom": ddim_lsun_bedroom,
     "ddim_lsun_church": ddim_lsun_church,
     "celeba256": celeba256,
