@@ -235,3 +235,24 @@ def test_resumable_reconstruction(setup, tmp_path):
     a1 = np.asarray(w1["mid.block_1.conv1"]["alpha"])
     a2 = np.asarray(w2["mid.block_1.conv1"]["alpha"])
     np.testing.assert_allclose(a1, a2, atol=1e-7)
+
+
+def test_host_offload_chunked_reconstruction(setup, monkeypatch):
+    """Units whose cached I/O exceeds the device budget stream to host
+    and run a chunked Adam schedule (the reference's keep_gpu=False,
+    calibration.py:62-67); the result must still train (loss decreases)
+    and produce alphas for every trained layer."""
+    params, adapter, w_cali, _ = setup
+    monkeypatch.setattr(recon, "HOST_OFFLOAD_BYTES", 1)       # force
+    monkeypatch.setattr(recon, "_HOST_CHUNK_BYTES", 1 << 20)  # tiny chunks
+    hp = ReconHP(iters=40, batch_size=4)
+    wstate0 = init_weight_qparams(adapter.policy, params, scaler="minmax")
+    traces = {}
+    w = recon.reconstruct(adapter, params, w_cali, dict(wstate0), hp,
+                          jax.random.PRNGKey(5), capture_batch_size=16,
+                          log=lambda u, ls: traces.update({u: ls}))
+    assert any("alpha" in st for st in w.values())
+    ls = np.asarray(traces["mid.block_1"])
+    assert ls.shape[0] == 40          # full schedule across chunks
+    assert np.isfinite(ls).all()
+    assert ls[-5:].mean() < ls[:5].mean()

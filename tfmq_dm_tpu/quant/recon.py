@@ -23,11 +23,15 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
+
+logger = logging.getLogger(__name__)
 
 from .adapter import ModelAdapter, UnitSpec
 from .adaround import init_alpha, linear_temp_decay, round_regularizer
@@ -94,10 +98,13 @@ def _capture_batch(adapter: ModelAdapter, unit_name: str, asym: bool,
 def capture_unit_io(adapter: ModelAdapter, unit: UnitSpec, params,
                     cali_data: Tuple[jax.Array, ...], wstate, astate=None,
                     *, asym: bool = True, use_aq: bool = False,
-                    batch_size: int = 128):
+                    batch_size: int = 128, to_host: bool = False):
     """Cache (inputs, outputs) of one unit over the calibration set
     (save_inout, data_utill.py:13-51): inputs from the quantized-prefix
-    forward when ``asym``, outputs always from the FP forward."""
+    forward when ``asym``, outputs always from the FP forward.
+    ``to_host``: stream the cache to host numpy — the reference's
+    keep_gpu=False offload for units whose cached I/O exceeds device
+    memory (calibration.py:62-67, data_utill.py:39-41)."""
     if unit.kind.startswith("tib"):
         # TIB's I/O is its own forward on (t[, y]): inputs are the raw cali
         # timesteps, outputs the FP projection tuple (save_inout(block,
@@ -117,10 +124,14 @@ def capture_unit_io(adapter: ModelAdapter, unit: UnitSpec, params,
         batch = tuple(x[i:i + batch_size] for x in cali_data)
         inp, out = _capture_batch(adapter, unit.name, asym, use_aq,
                                   params, wstate, astate, batch)
+        if to_host:
+            inp = jax.tree.map(lambda x: np.asarray(x), inp)
+            out = jax.tree.map(lambda x: np.asarray(x), out)
         ins.append(inp)
         outs.append(out)
-    inputs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *ins)
-    outputs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+    cat = np.concatenate if to_host else jnp.concatenate
+    inputs = jax.tree.map(lambda *xs: cat(xs), *ins)
+    outputs = jax.tree.map(lambda *xs: cat(xs), *outs)
     return inputs, outputs
 
 
@@ -206,16 +217,26 @@ def _rec_loss(pred, tgt, p, rloss="mse", grads=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("unit_fwd", "kind", "role_cfgs", "extra", "hp"))
+    static_argnames=("unit_fwd", "kind", "role_cfgs", "extra", "hp",
+                     "n_iters"))
 def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
                hp: ReconHP, uparams, wstate_fixed, alphas, inputs,
-               outputs, key, fgrads=None):
+               outputs, key, fgrads=None, opt_state=None,
+               iter0: int = 0, n_iters: Optional[int] = None):
     """The full weight-phase optimization for one unit: scan of
     {minibatch -> forward(soft) -> loss -> Adam} (reconstruction.py:63-78,
     182-198, 290-303). ``fgrads``: cached Fisher grads (|g|+1) when
-    hp.rloss != mse. Returns (trained alphas, per-iter losses)."""
+    hp.rloss != mse.
+
+    ``opt_state``/``iter0``/``n_iters`` allow CONTINUATION: run a
+    segment of the schedule (temp decay and warmup stay relative to the
+    full ``hp.iters``) — used by the host-offloaded chunked driver.
+    Returns (trained alphas, opt_state, per-iter losses)."""
     opt = optax.adam(hp.lr_alpha)
-    opt_state = opt.init(alphas)
+    if opt_state is None:
+        opt_state = opt.init(alphas)
+    if n_iters is None:
+        n_iters = hp.iters
     n = jax.tree.leaves(inputs)[0].shape[0]
     bs = min(hp.batch_size, n)
     loss_start = hp.warmup * hp.iters
@@ -245,9 +266,24 @@ def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
         a = optax.apply_updates(a, updates)
         return (a, ost, k), rec
 
-    (alphas, _, _), losses = jax.lax.scan(
-        step, (alphas, opt_state, key), jnp.arange(hp.iters, dtype=jnp.float32))
-    return alphas, losses
+    # iter0 is traced: equal-length segments share one compiled program
+    (alphas, opt_state, _), losses = jax.lax.scan(
+        step, (alphas, opt_state, key),
+        jnp.arange(n_iters, dtype=jnp.float32) + jnp.float32(iter0))
+    return alphas, opt_state, losses
+
+
+# device-memory budget for one unit's cached recon I/O; above this the
+# capture streams to host numpy and the Adam schedule runs in chunks
+# (the reference's keep_gpu heuristics, calibration.py:62-67)
+HOST_OFFLOAD_BYTES = 8 << 30
+_HOST_CHUNK_BYTES = 2 << 30
+
+
+def _bytes_per_row(inputs, outputs) -> int:
+    leaves = jax.tree.leaves(inputs) + jax.tree.leaves(outputs)
+    return sum(int(np.prod(x.shape[1:])) * x.dtype.itemsize
+               for x in leaves)
 
 
 def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
@@ -276,9 +312,41 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
                                                      k == "alpha")}
              for r, st in wstate_roles.items()}
 
-    alphas, losses = _recon_run(adapter.unit_fwd, unit.kind, role_cfgs,
-                                unit.extra, hp, uparams, fixed, alphas,
-                                inputs, outputs, key, fgrads)
+    if isinstance(jax.tree.leaves(inputs)[0], np.ndarray):
+        # host-offloaded cache: stream sample chunks to the device and
+        # run the iteration schedule as segments over each chunk (the
+        # reference's keep_gpu=False path moves every minibatch
+        # host->GPU per iter — per-iter transfers through a TPU host
+        # round-trip would dominate, so we chunk instead)
+        n = jax.tree.leaves(inputs)[0].shape[0]
+        chunk_n = max(hp.batch_size,
+                      min(n, _HOST_CHUNK_BYTES // max(1, _bytes_per_row(
+                          inputs, outputs))))
+        n_chunks = -(-n // chunk_n)
+        iters_per = [hp.iters // n_chunks] * n_chunks
+        iters_per[-1] += hp.iters - sum(iters_per)
+        opt_state = None
+        it0 = 0
+        loss_parts = []
+        perm = np.random.RandomState(0).permutation(n)
+        for c in range(n_chunks):
+            sel = perm[c * chunk_n:(c + 1) * chunk_n]
+            cin = jax.tree.map(lambda x: jnp.asarray(x[sel]), inputs)
+            cout = jax.tree.map(lambda x: jnp.asarray(x[sel]), outputs)
+            cg = None if fgrads is None else jnp.asarray(
+                np.asarray(fgrads)[sel])
+            key, k = jax.random.split(key)
+            alphas, opt_state, ls = _recon_run(
+                adapter.unit_fwd, unit.kind, role_cfgs, unit.extra, hp,
+                uparams, fixed, alphas, cin, cout, k, cg,
+                opt_state=opt_state, iter0=it0, n_iters=iters_per[c])
+            it0 += iters_per[c]
+            loss_parts.append(ls)
+        losses = jnp.concatenate(loss_parts)
+    else:
+        alphas, _, losses = _recon_run(
+            adapter.unit_fwd, unit.kind, role_cfgs, unit.extra, hp,
+            uparams, fixed, alphas, inputs, outputs, key, fgrads)
     new_wstate = dict(wstate)
     for role, full in unit.layers:
         if role in alphas:
@@ -325,10 +393,23 @@ def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
             if log is not None:
                 log(unit.name, None)
             continue
+        to_host = False
+        if not unit.kind.startswith("tib"):
+            # probe one sample's captured shapes to decide host offload
+            p_in, p_out = capture_unit_io(
+                adapter, unit, params,
+                tuple(x[:1] for x in cali_data), wstate,
+                asym=hp.asym, use_aq=hp.use_aq, batch_size=1)
+            est = _bytes_per_row(p_in, p_out) * cali_data[0].shape[0]
+            to_host = est > HOST_OFFLOAD_BYTES
+            if to_host:
+                logger.info("recon %s: cached I/O ~%.1f GiB -> host "
+                            "offload, chunked schedule", unit.name,
+                            est / (1 << 30))
         inputs, outputs = capture_unit_io(
             adapter, unit, params, cali_data, wstate,
             asym=hp.asym, use_aq=hp.use_aq,
-            batch_size=capture_batch_size)
+            batch_size=capture_batch_size, to_host=to_host)
         fgrads = None
         if hp.rloss != "mse" and not unit.kind.startswith("tib"):
             fgrads = capture_unit_grads(adapter, unit, params, cali_data,
