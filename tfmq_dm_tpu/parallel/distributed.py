@@ -48,3 +48,24 @@ def main_process_only(fn):
             return fn(*args, **kwargs)
         return None
     return wrapper
+
+
+def broadcast_object(obj, is_source: Optional[bool] = None):
+    """Broadcast an arbitrary picklable host object from process 0 to
+    all processes — the reference's pickle -> ByteTensor -> broadcast
+    dance (linklink/dist_helper.py:132-167). Single-host: identity."""
+    if jax.process_count() == 1:
+        return obj
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    if is_source is None:
+        is_source = is_main_process()
+    payload = pickle.dumps(obj) if is_source else b""
+    n = multihost_utils.broadcast_one_to_all(
+        np.int64(len(payload)), is_source=is_source)
+    buf = np.frombuffer(payload.ljust(int(n), b"\0"), np.uint8).copy()
+    buf = multihost_utils.broadcast_one_to_all(buf, is_source=is_source)
+    return pickle.loads(buf.tobytes()[:int(n)])
