@@ -92,7 +92,7 @@ def _fp_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, nk, tk_actual,
     o_ref[0] = (acc / l).astype(out_dtype)
 
 
-def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, *,
+def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, p_scr, *,
                   block_k, nk, tk_actual, sm_scale, nb, pb, out_dtype):
     """Softmax-output quant (aqtizer_w) over exact normalized
     probabilities. Scores are computed ONCE into a (block_q, Tk) fp32
@@ -118,14 +118,16 @@ def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, *,
     p = jnp.exp(s_all - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     p_q = jnp.clip(jnp.round(p / (l * delta)) + zp, nb, pb)
-    p_fq = delta * (p_q - zp)                 # quantizer.fake_quant
-    s_scr[:, :] = p_fq
+    # int8 level scratch (quarter the PV-sweep VMEM traffic); dequant
+    # per block reproduces quantizer.fake_quant exactly
+    p_scr[:, :] = (p_q - 128.0).astype(jnp.int8)
 
     def pv(kb, acc):
         vs = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        pf = s_scr[:, pl.ds(kb * block_k, block_k)]
+        p8 = p_scr[:, pl.ds(kb * block_k, block_k)]
+        p_fq = delta * (p8.astype(jnp.float32) + (128.0 - zp))
         return acc + jax.lax.dot_general(
-            pf.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+            p_fq.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, nk, pv, jnp.zeros((bm, d), jnp.float32))
@@ -133,8 +135,8 @@ def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, *,
 
 
 def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, o_ref,
-                 s_scr, *, block_k, nk, tk_actual, sm_scale, d_actual,
-                 w_range, quant_w, out_dtype):
+                 s_scr, p_scr, *, block_k, nk, tk_actual, sm_scale,
+                 d_actual, w_range, quant_w, out_dtype):
     """Full deployment kernel over PRE-quantized operands: q8 (bq, d),
     kT8 (d, tk) — K transposed in HBM so both matmuls are standard
     (M,K)x(K,N) int8 MXU ops (an in-kernel int8 transpose falls off the
@@ -178,10 +180,12 @@ def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, o_ref,
         p = jnp.exp(s_all - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         p_q = jnp.clip(jnp.round(p / (l * dw)) + zw, wnb, wpb)  # levels
-        s_scr[:, :] = p_q - 128.0
+        # int8 scratch: quarter the VMEM traffic of the PV sweep (the
+        # centered levels are integers, exactly representable)
+        p_scr[:, :] = (p_q - 128.0).astype(jnp.int8)
 
         def pv(kb, acc):
-            p8 = s_scr[:, pl.ds(kb * block_k, block_k)].astype(jnp.int8)
+            p8 = p_scr[:, pl.ds(kb * block_k, block_k)]
             psum = jnp.sum(p8.astype(jnp.int32), axis=-1,
                            keepdims=True).astype(jnp.float32)
             v8 = v_ref[0, pl.ds(kb * block_k, block_k), :]
@@ -278,7 +282,8 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + tensor_specs,
             out_specs=out_spec, out_shape=out_shape, cost_estimate=cost,
-            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32),
+                            pltpu.VMEM((block_q, tkp), jnp.int8)],
             interpret=interpret)(dz, qp, kp, vp)
     else:  # "int8"
         # Quantize to int8 codes OUTSIDE the kernel (one fused XLA
@@ -316,7 +321,8 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=out_spec, out_shape=out_shape, cost_estimate=cost,
-            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32),
+                            pltpu.VMEM((block_q, tkp), jnp.int8)],
             interpret=interpret)(sc, q8, kt8, v8, qsum, ksum)
     return out[:, :tq, :]
 
