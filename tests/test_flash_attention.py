@@ -165,3 +165,39 @@ def test_dispatch_flash_matches_einsum_when_forced():
         attn_ops.set_flash("auto")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("with_w", [True, False])
+def test_int8_materialized_matches_fake_quant_reference(with_w):
+    """Deployed small-T attention (ops/attention._int8_materialized):
+    int8 einsums + zero-point algebra == fake-quant q/k/v -> softmax ->
+    [fake-quant w] -> @ fake-quant v."""
+    acfg = QCfg(bits=8, symmetric=False)
+    wcfg = QCfg(bits=8, symmetric=False, always_zero=True)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+    b, t, h, d = 2, 64, 2, 48
+    q = _rand(k1, b, t, h, d)   # (B, T, H, D) caller layout
+    k = _rand(k2, b, t, h, d)
+    v = _rand(k3, b, t, h, d)
+    sm = d ** -0.5
+    dq, zq = jnp.float32(0.031), jnp.float32(130.0)
+    dk, zk = jnp.float32(0.029), jnp.float32(120.0)
+    dv, zv = jnp.float32(0.033), jnp.float32(125.0)
+    dw, zw = jnp.float32(1.0 / 255.0), jnp.float32(0.0)
+
+    q_fq = fake_quant(q, dq, zq, acfg)
+    k_fq = fake_quant(k, dk, zk, acfg)
+    v_fq = fake_quant(v, dv, zv, acfg)
+    ref = _ref(q_fq.transpose(0, 2, 1, 3), k_fq.transpose(0, 2, 1, 3),
+               v_fq.transpose(0, 2, 1, 3), sm,
+               p_quant=(dw, zw) if with_w else None,
+               cfg=wcfg).transpose(0, 2, 1, 3)
+
+    pq = (acfg, {"delta": dq, "zp": zq})
+    pk = (acfg, {"delta": dk, "zp": zk})
+    pv = (acfg, {"delta": dv, "zp": zv})
+    pw = (wcfg, {"delta": dw, "zp": zw}) if with_w else None
+    out = attn_ops._int8_materialized(q, k, v, sm, pq, pk, pv, pw,
+                                      jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

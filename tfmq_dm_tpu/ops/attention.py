@@ -31,6 +31,11 @@ from .flash_attention import flash_attention
 
 _MODE = "auto"  # "auto" (TPU only) | "on" | "off"
 
+# execute attention matmuls on int8 operands where grids allow (the
+# deployed path); False = keep matmuls bf16 and only fake-quant the
+# quantizer sites (still bit-equivalent to the reference semantics)
+_INT8 = True
+
 # Below this key length the materialized score matrix fits comfortably
 # in cache-sized tiles and XLA's fused einsum+softmax beats the kernel's
 # grid overhead (measured on CIFAR-10's 256-token attention). Flash wins
@@ -43,6 +48,11 @@ def set_flash(mode: str) -> None:
     global _MODE
     assert mode in ("auto", "on", "off"), mode
     _MODE = mode
+
+
+def set_int8_attention(on: bool) -> None:
+    global _INT8
+    _INT8 = bool(on)
 
 
 def _flash_ok(qctx, tk: int = MIN_FLASH_KV) -> bool:
@@ -76,6 +86,61 @@ def _scalar_asym(p) -> bool:
             and jnp.ndim(st["zp"]) == 0)
 
 
+def _int8_materialized(q, k, v, sm_scale, pq, pk, pv, pw, out_dtype):
+    """Deployed attention for small T (below the flash gate): both
+    matmuls execute int8 with the same exact zero-point algebra as the
+    flash kernel (ops/flash_attention.py), but with the (B,H,T,T) score
+    matrix materialized — at T<=256 it fits in cache-sized tiles and
+    XLA's fused einsum beats kernel grid overhead. Replaces fake-quant
+    elementwise passes + bf16 einsums with int8 MXU ops.
+
+    fq(a)·fq(b) = da·db·(a8·b8 - zb'·Σa8 - za'·Σb8 + D·za'·zb')
+    with centered codes a8 = a_q - 128, z' = z - 128."""
+    from . import int_ops
+
+    (cq, sq), (ck, sk), (cv, sv) = pq, pk, pv
+    q8, zq_c = int_ops.quantize_act_int8(q, sq["delta"], sq["zp"], cq)
+    k8, zk_c = int_ops.quantize_act_int8(k, sk["delta"], sk["zp"], ck)
+    v8, zv_c = int_ops.quantize_act_int8(v, sv["delta"], sv["zp"], cv)
+    d = q.shape[-1]
+    tk = k.shape[1]
+    sim = jnp.einsum("bihd,bjhd->bhij", q8, k8,
+                     preferred_element_type=jnp.int32).astype(jnp.float32)
+    qsum = jnp.sum(q8.astype(jnp.int32), axis=-1).astype(jnp.float32)
+    ksum = jnp.sum(k8.astype(jnp.int32), axis=-1).astype(jnp.float32)
+    sim = (sim
+           - zk_c * qsum.transpose(0, 2, 1)[:, :, :, None]
+           - zq_c * ksum.transpose(0, 2, 1)[:, :, None, :]
+           + d * zq_c * zk_c)
+    scores = (sq["delta"] * sk["delta"] * sm_scale) * sim
+    p = jax.nn.softmax(scores, axis=-1)
+    dv_ = sv["delta"]
+    if pw is not None:
+        cw, sw = pw
+        dw, zw = sw["delta"], sw["zp"]
+        wnb, wpb = cw.qrange
+        p_q = jnp.clip(jnp.round(p / dw) + zw, wnb, wpb)
+        p8 = (p_q - 128.0).astype(jnp.int8)
+        out = jnp.einsum("bhij,bjhd->bihd", p8, v8,
+                         preferred_element_type=jnp.int32
+                         ).astype(jnp.float32)
+        psum = jnp.sum(p8.astype(jnp.int32), axis=-1).astype(jnp.float32)
+        vsum = jnp.sum(v8.astype(jnp.int32), axis=1).astype(jnp.float32)
+        out = (dw * dv_) * (out
+                            - zv_c * psum.transpose(0, 2, 1)[:, :, :, None]
+                            + (128.0 - zw) * vsum[:, None, :, :]
+                            - (128.0 - zw) * zv_c * float(tk))
+        return out.astype(out_dtype)
+    # no softmax quant: p stays fp (cast like the reference path), PV on
+    # dequantized v codes with the zero-point folded out algebraically
+    p = p.astype(out_dtype)
+    out = jnp.einsum("bhij,bjhd->bihd", p, v8.astype(out_dtype),
+                     preferred_element_type=jnp.float32)
+    psum = jnp.sum(p.astype(jnp.float32), axis=-1)
+    out = dv_ * (out - zv_c * psum.transpose(0, 2, 1)[:, :, :, None])
+    return out.astype(out_dtype)
+
+
 def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                   sm_scale: float, qctx, sites: Dict[str, Optional[str]],
                   out_dtype=None) -> jax.Array:
@@ -98,7 +163,7 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         vt = v.transpose(0, 2, 1, 3)
         p_quant = ((pw[1]["delta"], pw[1]["zp"]), pw[0].qrange) \
             if pw is not None else (None, None)
-        if all(_scalar_asym(p) for p in (pq, pk, pv)):
+        if _INT8 and all(_scalar_asym(p) for p in (pq, pk, pv)):
             out = flash_attention(
                 qt, kt, vt, sm_scale=sm_scale,
                 qkv_quant=tuple((p[1]["delta"], p[1]["zp"])
@@ -122,6 +187,14 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             v.transpose(0, 2, 1, 3), sm_scale=sm_scale,
             p_quant=p_quant[0], qrange=p_quant[1], interpret=interp)
         return out.transpose(0, 2, 1, 3).astype(out_dtype)
+
+    # deployed small-T path: int8 matmuls without the flash kernel
+    if (_INT8 and qctx is not None and qctx.deploy is not None
+            and qctx.act_mode is None and qctx.capture is None
+            and all(_scalar_asym(p) for p in (pq, pk, pv))
+            and (pw is None or _scalar_asym(pw))):
+        return _int8_materialized(q, k, v, sm_scale, pq, pk, pv, pw,
+                                  out_dtype)
 
     # materialized reference path (calibration, grads, small T, CPU)
     if qctx is not None:
