@@ -57,10 +57,14 @@ def main():
     from tfmq_dm_tpu.quant.fsc import _fsc_init
     from tfmq_dm_tpu.quant.recon import init_weight_qparams
 
-    want = sys.argv[1:] or ["fp", "w8a8", "w8a8_sym", "attn_fp",
-                            "attn_flash", "conv_wo", "wonly"]
-    cfg = ddim_unet.cifar10_config()
+    args = sys.argv[1:]
     b = 64
+    if args and args[0].isdigit():
+        b = int(args[0])
+        args = args[1:]
+    want = args or ["fp", "w8a8", "w8a8_sym", "attn_fp",
+                    "attn_flash", "conv_wo", "wonly"]
+    cfg = ddim_unet.cifar10_config()
     params = ddim_unet.init_params(jax.random.PRNGKey(0), cfg)
     x = jax.random.normal(jax.random.PRNGKey(1), (b, 32, 32, 3))
     t = jnp.full((b,), 500, jnp.int32)

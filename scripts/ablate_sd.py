@@ -56,9 +56,13 @@ def main():
     from tfmq_dm_tpu.quant.fsc import _fsc_init
     from tfmq_dm_tpu.quant.recon import init_weight_qparams
 
-    want = sys.argv[1:] or ["fp", "w8a8", "w8a8_sym", "attn_fp",
-                            "conv_wo", "wonly"]
+    args = sys.argv[1:]
     b = 8
+    if args and args[0].isdigit():
+        b = int(args[0])
+        args = args[1:]
+    want = args or ["fp", "w8a8", "w8a8_sym", "attn_fp",
+                    "fq_attn", "sm_fp", "conv_wo", "wonly"]
     cfg = ldm_unet.sd_v1_config()
     params = ldm_unet.init_params(jax.random.PRNGKey(0), cfg)
     x = jax.random.normal(jax.random.PRNGKey(1), (b, 64, 64, 4))
@@ -78,13 +82,16 @@ def main():
         print("fp", round(results["fp"], 2), flush=True)
 
     def quant_variant(w_sym, attn_aq=True, conv_aq=True, use_aq=True,
-                      int8_attn=True):
+                      int8_attn=True, sm_aq=True):
         from tfmq_dm_tpu.ops import attention as attn_ops
         attn_ops.set_int8_attention(int8_attn)
         adapter = ldm_units.build_adapter(cfg, w_bits=8, a_bits=8,
                                           use_aq=True, w_sym=w_sym)
         for name, pol in adapter.policy.layers.items():
             if pol.w_cfg is None and not attn_aq:
+                pol.aq = False
+            if (pol.a_cfg is not None and pol.a_cfg.always_zero
+                    and not sm_aq):
                 pol.aq = False
             if pol.w_cfg is not None and not conv_aq:
                 pol.aq = False
@@ -113,6 +120,7 @@ def main():
         "w8a8_sym": dict(w_sym=True),
         "attn_fp": dict(w_sym=True, attn_aq=False),
         "fq_attn": dict(w_sym=True, int8_attn=False),
+        "sm_fp": dict(w_sym=True, sm_aq=False),
         "conv_wo": dict(w_sym=True, conv_aq=False),
         "wonly": dict(w_sym=True, use_aq=False),
     }

@@ -1,0 +1,93 @@
+"""Capture an xprof trace of the deployed CIFAR step and print per-op
+HLO time, grouped by op category — the data behind the int8-vs-bf16
+per-layer dispatch policy.
+
+Usage: python scripts/profile_cifar.py [variant] [outdir]
+  variant: w8a8_sym | wonly | fp   (default w8a8_sym)
+"""
+
+import glob
+import gzip
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_step(variant):
+    from tfmq_dm_tpu.models import ddim_unet, ddim_units
+    from tfmq_dm_tpu.quant.deploy import (deploy_weights,
+                                          make_deployed_model_fn)
+    from tfmq_dm_tpu.quant.fsc import _fsc_init
+    from tfmq_dm_tpu.quant.recon import init_weight_qparams
+
+    cfg = ddim_unet.cifar10_config()
+    b = 64
+    params = ddim_unet.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 32, 32, 3))
+    t = jnp.full((b,), 500, jnp.int32)
+
+    if variant == "fp":
+        pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+        def step(p, xx, tt):
+            return ddim_unet.apply(p, cfg, xx.astype(jnp.bfloat16),
+                                   tt).astype(jnp.float32)
+
+        return step, pb, x, t
+
+    adapter = ddim_units.build_adapter(cfg, w_bits=8, a_bits=8,
+                                       w_sym=True)
+    wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
+    astate, _ = _fsc_init(adapter, "minmax", params, wstate,
+                          (x[:8], t[:8]))
+    astate = jax.tree.map(lambda a: a[None], astate)
+    deployed = deploy_weights(adapter.policy, params, wstate)
+    use_aq = variant != "wonly"
+
+    def step(bundle, xx, tt):
+        p, dep, ast = bundle
+        fn = make_deployed_model_fn(adapter, p, dep, ast, use_aq=use_aq,
+                                    act_dtype=jnp.bfloat16)
+        return fn(xx.astype(jnp.bfloat16), tt, 0).astype(jnp.float32)
+
+    return step, (params, deployed, astate), x, t
+
+
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "w8a8_sym"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/xprof_{variant}"
+    step, p, x, t = build_step(variant)
+
+    @jax.jit
+    def loop(p, x, t):
+        return lax.fori_loop(0, 30, lambda i, xx: step(p, xx, t), x)
+
+    np.asarray(loop(p, x, t))  # compile + warm
+    jax.profiler.start_trace(outdir)
+    np.asarray(loop(p, x, t))
+    jax.profiler.stop_trace()
+    print("trace at", outdir)
+
+    # summarize: xplane -> op durations
+    from xprof.convert import _xplane_to_tools_data as conv
+    sess = glob.glob(os.path.join(outdir, "plugins/profile/*"))[-1]
+    xspaces = glob.glob(os.path.join(sess, "*.xplane.pb"))
+    data, _ = conv.xspace_to_tool_data(xspaces, "framework_op_stats", {})
+    if isinstance(data, bytes):
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            pass
+        open(f"/tmp/opstats_{variant}.csv", "wb").write(data)
+        print("op stats csv at", f"/tmp/opstats_{variant}.csv")
+
+
+if __name__ == "__main__":
+    main()

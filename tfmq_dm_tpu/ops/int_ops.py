@@ -121,11 +121,18 @@ def int8_conv2d(x_q: jax.Array, zp_xc: jax.Array, dx: jax.Array,
     acc = lax.conv_general_dilated(
         x_q, iw.w_q, strides, pads, dimension_numbers=dn,
         preferred_element_type=jnp.int32)
-    # loop-invariant border maps (hoisted out of sampler scans)
-    ones_x = jnp.ones((1,) + x_q.shape[1:3] + (cin,), jnp.int8)
-    w_map = lax.conv_general_dilated(
-        ones_x, iw.w_q, strides, pads, dimension_numbers=dn,
-        preferred_element_type=jnp.int32).astype(jnp.float32)
+    # Border maps depend only on weights + static shapes. When the
+    # deployed weights are closure constants (the sampling pipelines
+    # close over the deployment dict), compute them ONCE at trace time —
+    # XLA's licm does not reliably hoist convs out of sampler loops, and
+    # the per-step ones-conv showed up at ~170 us/step in CIFAR traces.
+    # With traced weights (e.g. weights passed as jit args) this falls
+    # back to in-graph computation, still correct.
+    with jax.ensure_compile_time_eval():
+        ones_x = jnp.ones((1,) + x_q.shape[1:3] + (cin,), jnp.int8)
+        w_map = lax.conv_general_dilated(
+            ones_x, iw.w_q, strides, pads, dimension_numbers=dn,
+            preferred_element_type=jnp.int32).astype(jnp.float32)
     corr = acc.astype(jnp.float32) - zp_xc * w_map
     if not iw.sym:
         # windowed sum of x_q': channel-reduce first (VPU), then a
@@ -135,10 +142,11 @@ def int8_conv2d(x_q: jax.Array, zp_xc: jax.Array, dx: jax.Array,
         s = lax.conv_general_dilated(
             xsum, ones_k, strides, pads, dimension_numbers=dn,
             preferred_element_type=jnp.int32)
-        v_map = lax.conv_general_dilated(
-            ones_x[..., :1].astype(jnp.int32), ones_k, strides, pads,
-            dimension_numbers=dn,
-            preferred_element_type=jnp.int32).astype(jnp.float32)
+        with jax.ensure_compile_time_eval():
+            v_map = lax.conv_general_dilated(
+                jnp.ones((1,) + x_q.shape[1:3] + (1,), jnp.int32),
+                ones_k, strides, pads, dimension_numbers=dn,
+                preferred_element_type=jnp.int32).astype(jnp.float32)
         corr = (corr
                 - iw.zp_c[None, None, None, :] * s.astype(jnp.float32)
                 + (cin * zp_xc) * v_map * iw.zp_c[None, None, None, :])
