@@ -77,7 +77,8 @@ def main():
 
     # w8a8 DEPLOYED integer path (real int8 MXU convs, bf16 elsewhere)
     from tfmq_dm_tpu.quant.deploy import (deploy_weights,
-                                          make_deployed_model_fn)
+                                          make_deployed_model_fn,
+                                          specialize_maps)
     from tfmq_dm_tpu.quant.fsc import _fsc_init
 
     adapter = ddim_units.build_adapter(cfg, w_bits=8, a_bits=8)
@@ -86,6 +87,13 @@ def main():
                           (x[:8], t[:8]))
     astate = jax.tree.map(lambda a: a[None], astate)  # 1 FSC group
     deployed = deploy_weights(adapter.policy, params, wstate)
+    deployed = specialize_maps(adapter, params, deployed,
+                               example_args=(x[:1], t[:1]), use_aq=True)
+    # fast-deploy carriers: FP-fallback layers + glue ops run bf16 (the
+    # same dtype as the FP baseline); int8 correction math stays f32
+    params_q = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, params)
 
     def q_step(bundle, xx, tt):
         p, dep, ast = bundle
@@ -95,7 +103,7 @@ def main():
         return model_fn(xx.astype(jnp.bfloat16), tt,
                         0).astype(jnp.float32)
 
-    q_tp = _steps_per_sec(q_step, (params, deployed, astate), x, t, b)
+    q_tp = _steps_per_sec(q_step, (params_q, deployed, astate), x, t, b)
 
     print(json.dumps({
         "metric": "cifar10_unet_w8a8_denoise_steps_per_sec_per_chip",

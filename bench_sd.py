@@ -49,7 +49,8 @@ def _steps_per_sec(step_fn, params, x, t, c, batch):
 def main():
     from tfmq_dm_tpu.models import ldm_unet, ldm_units
     from tfmq_dm_tpu.quant.deploy import (deploy_weights,
-                                          make_deployed_model_fn)
+                                          make_deployed_model_fn,
+                                          specialize_maps)
     from tfmq_dm_tpu.quant.fsc import _fsc_init
     from tfmq_dm_tpu.quant.recon import init_weight_qparams
 
@@ -73,6 +74,13 @@ def main():
                           (x[:2], t[:2], c[:2]))
     astate = jax.tree.map(lambda a: a[None], astate)  # 1 FSC group
     deployed = deploy_weights(adapter.policy, params, wstate)
+    deployed = specialize_maps(adapter, params, deployed,
+                               example_args=(x[:1], t[:1], c[:1]),
+                               use_aq=True)
+    # fast-deploy carriers: FP-fallback layers + glue ops run bf16
+    params_q = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, params)
 
     def q_step(bundle, xx, tt, cc):
         p, dep, ast = bundle
@@ -81,7 +89,7 @@ def main():
         return fn(xx.astype(jnp.bfloat16), tt, 0,
                   cc.astype(jnp.bfloat16)).astype(jnp.float32)
 
-    q_tp = _steps_per_sec(q_step, (params, deployed, astate), x, t, c, b)
+    q_tp = _steps_per_sec(q_step, (params_q, deployed, astate), x, t, c, b)
 
     print(json.dumps({
         "metric": "sd_v14_unet_w8a8_denoise_steps_per_sec_per_chip",

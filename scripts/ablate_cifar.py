@@ -53,7 +53,8 @@ def main():
     from tfmq_dm_tpu.models import ddim_unet, ddim_units
     from tfmq_dm_tpu.ops import attention as attn_ops
     from tfmq_dm_tpu.quant.deploy import (deploy_weights,
-                                          make_deployed_model_fn)
+                                          make_deployed_model_fn,
+                                          specialize_maps)
     from tfmq_dm_tpu.quant.fsc import _fsc_init
     from tfmq_dm_tpu.quant.recon import init_weight_qparams
 
@@ -95,6 +96,14 @@ def main():
                               (x[:8], t[:8]))
         astate = jax.tree.map(lambda a: a[None], astate)
         deployed = deploy_weights(adapter.policy, params, wstate)
+        deployed = specialize_maps(adapter, params, deployed,
+                                   example_args=(x[:1], t[:1]),
+                                   use_aq=use_aq)
+        # fast-deploy carriers: FP-fallback layers + glue ops run bf16
+        # (same dtype as the FP baseline); int correction math stays f32
+        pd = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, params)
 
         def q_step(bundle, xx, tt):
             p, dep, ast = bundle
@@ -103,7 +112,7 @@ def main():
                                         act_dtype=jnp.bfloat16)
             return fn(xx.astype(jnp.bfloat16), tt, 0).astype(jnp.float32)
 
-        r = _steps_per_sec(q_step, (params, deployed, astate), x, t, b)
+        r = _steps_per_sec(q_step, (pd, deployed, astate), x, t, b)
         attn_ops.set_flash("auto")
         return r
 

@@ -78,6 +78,14 @@ def main():
         lambda q, k, v: flash_attention(q, k, v, sm_scale=sm,
                                         qkv_quant=qk, qkv_ranges=rng,
                                         p_quant=(dw, zw)), q, k, v)
+    if tq <= 512:
+        # whole-row tiles: one grid cell per (b, h) at small T
+        res["int8_bq_full"] = time_chain(
+            lambda q, k, v: flash_attention(q, k, v, sm_scale=sm,
+                                            qkv_quant=qk, qkv_ranges=rng,
+                                            p_quant=(dw, zw),
+                                            block_q=tq, block_k=tk),
+            q, k, v)
 
     def fqp(q, k, v):
         qf = fake_quant(q, dq, zq, acfg)

@@ -102,3 +102,34 @@ def test_int4_packed_linear_weight_only():
     np.testing.assert_allclose(
         np.asarray(dequant_int4(iw4)),
         np.asarray(int_ops.dequant_weight(iw)), atol=1e-6, rtol=1e-6)
+
+
+def test_specialize_maps_exact(setup):
+    """Border maps precomputed at deploy time (specialize_maps) produce
+    the bit-identical conv outputs as the in-graph fallback, for both
+    asymmetric (v_map) and the w_map-only path, with the deployment dict
+    crossing the jit boundary as an argument."""
+    from tfmq_dm_tpu.quant.deploy import specialize_maps
+
+    params, adapter, wstate, astate = setup
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 16, 16, 3))
+    t = jnp.full((2,), 7, jnp.int32)
+    dep = deploy_weights(adapter.policy, params, wstate)
+    dep_m = specialize_maps(adapter, params, dep,
+                            example_args=(x[:1], t[:1]), use_aq=True)
+    # maps attached to act-quantized convs only, with output shapes
+    has_maps = [n for n, iw in dep_m.items()
+                if getattr(iw, "w_map", None) is not None]
+    assert has_maps, "no maps were attached"
+    for n in has_maps:
+        assert dep_m[n].w_map.shape[0] == 1
+        assert not dep_m[n].sym or dep_m[n].v_map is None
+
+    def run(d, xx, tt):
+        fn = make_deployed_model_fn(adapter, params, d, astate,
+                                    use_aq=True)
+        return fn(xx, tt, 0)
+
+    a = jax.jit(run)(dep, x, t)
+    b = jax.jit(run)(dep_m, x, t)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

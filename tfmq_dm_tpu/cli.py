@@ -63,6 +63,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--int-kernels", dest="int_kernels",
                    action="store_true",
                    help="deploy real int8 MXU kernels")
+    p.add_argument("--deploy_dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="carrier dtype between deployed int8 ops: "
+                        "float32 is bit-exact vs the fake-quant sim; "
+                        "bfloat16 (fast mode) runs FP-fallback layers "
+                        "and glue ops at the FP baseline's dtype "
+                        "(int correction math stays f32)")
     # sampling
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--eta", type=float, default=None)
@@ -223,8 +230,27 @@ def main(argv=None) -> int:
         ctx, uc = _get_context(task, args, cond_params, args.batch)
 
     deployed = {}
+    deploy_dtype = None
     if args.ptq and args.int_kernels:
+        from .quant.deploy import specialize_maps
         deployed = deploy_weights(adapter.policy, params, wstate)
+        res = (task.unet.resolution if task.family == "ddim"
+               else task.unet.image_size)
+        ex = (jnp.zeros((1, res, res, task.unet.in_channels)),
+              jnp.zeros((1,), jnp.int32))
+        if ctx is not None:
+            ex = ex + (ctx[:1],)
+        deployed = specialize_maps(adapter, params, deployed,
+                                   example_args=ex, use_aq=args.use_aq)
+        if args.deploy_dtype == "bfloat16":
+            # fast-deploy: FP-fallback layers and glue ops run bf16
+            # (the same dtype an FP TPU deployment would use); int8
+            # correction math stays f32. float32 keeps the deployed
+            # model bit-exact vs its fake-quant simulation.
+            deploy_dtype = jnp.bfloat16
+            params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, params)
 
     # Model state crosses the jit boundary as one ARGUMENT pytree —
     # closing over concrete params would embed them as constants in the
@@ -248,7 +274,8 @@ def main(argv=None) -> int:
         if args.int_kernels:
             qctx = QuantCtx(adapter.policy, wstate={}, astate=ast,
                             use_wq=True, use_aq=args.use_aq,
-                            deploy=b["deployed"], flash=True)
+                            deploy=b["deployed"], flash=True,
+                            act_out_dtype=deploy_dtype)
         else:
             qctx = QuantCtx(adapter.policy, wstate=b["wstate"],
                             astate=ast, use_wq=True, use_aq=args.use_aq,

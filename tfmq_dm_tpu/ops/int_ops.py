@@ -37,7 +37,15 @@ class IntWeight:
     Registered as a pytree (k/bits/sym static) so it crosses jit
     boundaries. ``sym``: symmetric weight grid — the zero point is
     structurally 0, so the activation-windowed-sum correction term
-    vanishes and the deployed ops skip computing it."""
+    vanishes and the deployed ops skip computing it.
+
+    ``w_map``/``v_map``: optional shape-specialized border maps
+    (deploy.specialize_maps) — the per-position zero-point correction
+    constants that only depend on weights + static conv geometry. When
+    present, the deployed conv reads them instead of recomputing a
+    ones-kernel conv every step (weights usually cross the jit boundary
+    as *arguments*, so XLA cannot constant-fold the maps, and its LICM
+    does not reliably hoist convs out of sampler scans)."""
 
     w_q: jax.Array          # int8, centered (w_int - 2^{b-1}; sym: as-is)
     delta: jax.Array        # (O,) per-channel scale
@@ -46,10 +54,13 @@ class IntWeight:
     k: int                  # reduction volume (kh*kw*Cin or Cin)
     bits: int
     sym: bool = False
+    w_map: Optional[jax.Array] = None   # (1,Ho,Wo,O) f32
+    v_map: Optional[jax.Array] = None   # (1,Ho,Wo,1) f32 (asym only)
 
 
 jax.tree_util.register_dataclass(
-    IntWeight, data_fields=("w_q", "delta", "zp_c", "wsum"),
+    IntWeight, data_fields=("w_q", "delta", "zp_c", "wsum", "w_map",
+                            "v_map"),
     meta_fields=("k", "bits", "sym"))
 
 
@@ -85,10 +96,13 @@ def quantize_weight_int(w: jax.Array, delta: jax.Array, zp: jax.Array,
 def quantize_act_int8(x: jax.Array, delta: jax.Array, zp: jax.Array,
                       cfg: QCfg) -> Tuple[jax.Array, jax.Array]:
     """Per-tensor activation quantization to centered int8. Returns
-    (x_q' int8, zp_c float scalar)."""
+    (x_q' int8, zp_c float scalar). The divide/round runs in f32 even for
+    bf16 carriers (fast-deploy mode): the upcast fuses into the sweep, so
+    HBM reads stay bf16 while code decisions keep f32 boundaries."""
     off = 2 ** (cfg.bits - 1)
     nb, pb = cfg.qrange
-    x_q = jnp.clip(jnp.round(x / delta) + zp, nb, pb) - off
+    xf = x.astype(jnp.float32)
+    x_q = jnp.clip(jnp.round(xf / delta) + zp, nb, pb) - off
     return x_q.astype(jnp.int8), (zp - off).astype(jnp.float32)
 
 
@@ -121,18 +135,20 @@ def int8_conv2d(x_q: jax.Array, zp_xc: jax.Array, dx: jax.Array,
     acc = lax.conv_general_dilated(
         x_q, iw.w_q, strides, pads, dimension_numbers=dn,
         preferred_element_type=jnp.int32)
-    # Border maps depend only on weights + static shapes. When the
-    # deployed weights are closure constants (the sampling pipelines
-    # close over the deployment dict), compute them ONCE at trace time —
-    # XLA's licm does not reliably hoist convs out of sampler loops, and
-    # the per-step ones-conv showed up at ~170 us/step in CIFAR traces.
-    # With traced weights (e.g. weights passed as jit args) this falls
-    # back to in-graph computation, still correct.
-    with jax.ensure_compile_time_eval():
-        ones_x = jnp.ones((1,) + x_q.shape[1:3] + (cin,), jnp.int8)
-        w_map = lax.conv_general_dilated(
-            ones_x, iw.w_q, strides, pads, dimension_numbers=dn,
-            preferred_element_type=jnp.int32).astype(jnp.float32)
+    # Border maps depend only on weights + static conv geometry. The
+    # deploy-time path (deploy.specialize_maps) precomputes them once
+    # per checkpoint and they ride the IntWeight pytree; the fallback
+    # recomputes in-graph (trace-time when weights are concrete via
+    # ensure_compile_time_eval, else per call — XLA's LICM does not
+    # reliably hoist convs out of sampler scans: ~170 us/step in CIFAR
+    # traces).
+    w_map = iw.w_map
+    if w_map is None:
+        with jax.ensure_compile_time_eval():
+            ones_x = jnp.ones((1,) + x_q.shape[1:3] + (cin,), jnp.int8)
+            w_map = lax.conv_general_dilated(
+                ones_x, iw.w_q, strides, pads, dimension_numbers=dn,
+                preferred_element_type=jnp.int32).astype(jnp.float32)
     corr = acc.astype(jnp.float32) - zp_xc * w_map
     if not iw.sym:
         # windowed sum of x_q': channel-reduce first (VPU), then a
@@ -142,11 +158,13 @@ def int8_conv2d(x_q: jax.Array, zp_xc: jax.Array, dx: jax.Array,
         s = lax.conv_general_dilated(
             xsum, ones_k, strides, pads, dimension_numbers=dn,
             preferred_element_type=jnp.int32)
-        with jax.ensure_compile_time_eval():
-            v_map = lax.conv_general_dilated(
-                jnp.ones((1,) + x_q.shape[1:3] + (1,), jnp.int32),
-                ones_k, strides, pads, dimension_numbers=dn,
-                preferred_element_type=jnp.int32).astype(jnp.float32)
+        v_map = iw.v_map
+        if v_map is None:
+            with jax.ensure_compile_time_eval():
+                v_map = lax.conv_general_dilated(
+                    jnp.ones((1,) + x_q.shape[1:3] + (1,), jnp.int32),
+                    ones_k, strides, pads, dimension_numbers=dn,
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
         corr = (corr
                 - iw.zp_c[None, None, None, :] * s.astype(jnp.float32)
                 + (cin * zp_xc) * v_map * iw.zp_c[None, None, None, :])

@@ -77,6 +77,11 @@ class QuantCtx:
         # opt-in to the fused flash-attention kernel (forward-only
         # inference contexts; see ops/attention.py dispatch rules)
         self.flash = flash
+        # when set (a dict), deployed conv sites record their static
+        # geometry {layer: (in_hw, stride, pads)} — used by
+        # deploy.specialize_maps under jax.eval_shape to precompute
+        # border maps without running the model
+        self.shape_tape = None
 
     # ---------------- weight path ----------------
 

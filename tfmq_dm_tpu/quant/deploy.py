@@ -103,6 +103,56 @@ def deploy_weights(policy: QuantPolicy, params, wstate: Dict, *,
     return deployed
 
 
+def specialize_maps(adapter: ModelAdapter, params, deployed: Dict, *,
+                    example_args: tuple, use_aq: bool = True) -> Dict:
+    """Shape-specialize the deployment: precompute every int8 conv's
+    border maps (the per-position zero-point correction constants, see
+    ops/int_ops.int8_conv2d) for the conv geometries this model actually
+    runs. Geometry is discovered with one ``jax.eval_shape`` forward (no
+    FLOPs); the maps are computed once here and ride the IntWeight
+    pytree, so the per-step sampler graph contains no ones-kernel convs
+    even when the deployment dict crosses the jit boundary as an
+    argument (where XLA cannot constant-fold and LICM is unreliable).
+
+    ``example_args``: (x, t[, cond...]) with the deployment's shapes —
+    batch size does not matter (maps broadcast over batch), spatial
+    resolution does.
+    """
+    import dataclasses as _dc
+
+    from jax import lax
+
+    ctx = QuantCtx(adapter.policy, wstate={}, astate={}, use_wq=True,
+                   use_aq=use_aq, deploy=deployed, flash=True)
+    ctx.shape_tape = {}
+    jax.eval_shape(lambda a: adapter.forward(params, ctx, *a),
+                   example_args)
+    dn = ("NHWC", "HWIO", "NHWC")
+    out = dict(deployed)
+    for name, (hw, stride, pads) in ctx.shape_tape.items():
+        iw = deployed.get(name)
+        if not isinstance(iw, int_ops.IntWeight) or iw.w_q.ndim != 4:
+            continue
+        pol = adapter.policy.get(name)
+        if not (use_aq and pol is not None and pol.aq):
+            continue    # weight-only convs don't use border maps
+        kh, kw, cin, _ = iw.w_q.shape
+        strides = (stride, stride)
+        ones_x = jnp.ones((1,) + tuple(hw) + (cin,), jnp.int8)
+        w_map = lax.conv_general_dilated(
+            ones_x, iw.w_q, strides, list(pads), dimension_numbers=dn,
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        v_map = None
+        if not iw.sym:
+            ones_k = jnp.ones((kh, kw, 1, 1), jnp.int32)
+            v_map = lax.conv_general_dilated(
+                jnp.ones((1,) + tuple(hw) + (1,), jnp.int32), ones_k,
+                strides, list(pads), dimension_numbers=dn,
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        out[name] = _dc.replace(iw, w_map=w_map, v_map=v_map)
+    return out
+
+
 def make_deployed_model_fn(adapter: ModelAdapter, params,
                            deployed: Dict[str, int_ops.IntWeight],
                            astate_batched: Optional[Dict] = None, *,

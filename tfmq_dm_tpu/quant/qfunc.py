@@ -35,6 +35,8 @@ def qconv2d(qctx: Optional[QuantCtx], name: str, x: jax.Array,
         kh, kw_ = iw.w_q.shape[:2]
         pads = _same_pads(kh, kw_) if padding == "SAME" else \
             ((0, 0), (0, 0)) if padding == "VALID" else tuple(padding)
+        if qctx.shape_tape is not None:
+            qctx.shape_tape[name] = (tuple(x.shape[1:3]), stride, pads)
         pol = qctx.policy.get(name)
         ast = qctx.astate.get(name) if qctx.use_aq and pol.aq else None
         out_dtype = qctx.act_out_dtype or x.dtype
