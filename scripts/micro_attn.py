@@ -38,8 +38,13 @@ SHAPES = {
 def time_chain(fn, q, k, v):
     def chain(n):
         def run(q, k, v):
-            return lax.fori_loop(
-                0, n, lambda i, qq: fn(qq, k, v).astype(q.dtype), q)
+            def body(i, qq):
+                # salt defeats CSE; scalar-sum output keeps the host
+                # fetch off the (noisy) tunnel critical path
+                qs = qq + (i * 1e-12).astype(qq.dtype)
+                return fn(qs, k, v).astype(q.dtype)
+            out = lax.fori_loop(0, n, body, q)
+            return jnp.sum(out.astype(jnp.float32))
         return jax.jit(run)
 
     cs, cl = chain(N_SHORT), chain(N_LONG)

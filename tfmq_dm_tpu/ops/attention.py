@@ -119,7 +119,7 @@ def _int8_materialized(q, k, v, sm_scale, pq, pk, pv, pw, out_dtype):
         cw, sw = pw
         dw, zw = sw["delta"], sw["zp"]
         wnb, wpb = cw.qrange
-        p_q = jnp.clip(jnp.round(p / dw) + zw, wnb, wpb)
+        p_q = jnp.clip(jnp.round(p * (1.0 / dw)) + zw, wnb, wpb)
         p8 = (p_q - 128.0).astype(jnp.int8)
         out = jnp.einsum("bhij,bjhd->bihd", p8, v8,
                          preferred_element_type=jnp.int32

@@ -58,7 +58,8 @@ def _mask_cols(s, kb, block_k, tk_actual):
 
 def _quant_i8(x, delta, zp, nb, pb):
     """Centered int8 act codes: clip(round(x/delta)+zp, nb, pb) - 128."""
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / delta) + zp, nb, pb)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / delta)) + zp,
+                  nb, pb)
     return (xq - 128.0).astype(jnp.int8)
 
 
@@ -92,40 +93,52 @@ def _fp_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, nk, tk_actual,
     o_ref[0] = (acc / l).astype(out_dtype)
 
 
-def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, p_scr, *,
+def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, *,
                   block_k, nk, tk_actual, sm_scale, nb, pb, out_dtype):
     """Softmax-output quant (aqtizer_w) over exact normalized
-    probabilities. Scores are computed ONCE into a (block_q, Tk) fp32
-    VMEM scratch (fits: 2 MB at T=4096), then softmax + fake-quant run
-    as single whole-row sweeps — no recompute pass."""
+    probabilities, which cannot ride one-pass rescaling (round() is
+    non-linear in the running denominator). Two passes, both fused:
+
+    1. fill: QK into a (block_q, Tk) fp32 VMEM scratch (2 MB at
+       T=4096) while tracking the online (row max, rescaled exp-sum) —
+       no separate max/denominator sweeps over the scratch;
+    2. pv: per key block, re-exp from the scratch, quantize against the
+       final (m, l) in registers, and matmul — no quantized-level
+       scratch round-trip.
+
+    This costs one extra exp per element vs caching exp results, but
+    VMEM scratch traffic is the bottleneck at T=4096, not VPU
+    transcendentals (measured: 14.2 -> ~10 ms/call at SD shapes)."""
     q = q_ref[0]
     bm, d = q.shape
     delta = dz_ref[0]
     zp = dz_ref[1]
 
-    def fill(kb, _):
+    def fill(kb, carry):
+        m, l = carry
         ks = k_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
-        s_scr[:, pl.ds(kb * block_k, block_k)] = _mask_cols(
-            s, kb, block_k, tk_actual)
-        return 0
+        s = _mask_cols(s, kb, block_k, tk_actual)
+        s_scr[:, pl.ds(kb * block_k, block_k)] = s
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new),
+                                             axis=-1, keepdims=True)
+        return m_new, l
 
-    jax.lax.fori_loop(0, nk, fill, 0)
-    s_all = s_scr[:, :]
-    m = jnp.max(s_all, axis=-1, keepdims=True)
-    p = jnp.exp(s_all - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p_q = jnp.clip(jnp.round(p / (l * delta)) + zp, nb, pb)
-    # int8 level scratch (quarter the PV-sweep VMEM traffic); dequant
-    # per block reproduces quantizer.fake_quant exactly
-    p_scr[:, :] = (p_q - 128.0).astype(jnp.int8)
+    m0 = jnp.full((bm, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bm, 1), jnp.float32)
+    m, l = jax.lax.fori_loop(0, nk, fill, (m0, l0))
+    # one exact IEEE divide per ROW, then a broadcast multiply — a
+    # full-width f32 divide runs at a fraction of VPU mul throughput
+    inv = 1.0 / (l * delta)
 
     def pv(kb, acc):
         vs = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        p8 = p_scr[:, pl.ds(kb * block_k, block_k)]
-        p_fq = delta * (p8.astype(jnp.float32) + (128.0 - zp))
+        s = s_scr[:, pl.ds(kb * block_k, block_k)]
+        p_q = jnp.clip(jnp.round(jnp.exp(s - m) * inv) + zp, nb, pb)
+        p_fq = delta * (p_q - zp)
         return acc + jax.lax.dot_general(
             p_fq.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -134,8 +147,8 @@ def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, p_scr, *,
     o_ref[0] = acc.astype(out_dtype)
 
 
-def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, o_ref,
-                 s_scr, p_scr, *, block_k, nk, tk_actual, sm_scale,
+def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, vs_ref,
+                 o_ref, s_scr, *, block_k, nk, tk_actual, sm_scale,
                  d_actual, w_range, quant_w, out_dtype):
     """Full deployment kernel over PRE-quantized operands: q8 (bq, d),
     kT8 (d, tk) — K transposed in HBM so both matmuls are standard
@@ -145,7 +158,9 @@ def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, o_ref,
     integer levels, so PV stays int8.
 
     sc_ref (SMEM, fp32): [dq, zq, dk, zk, dv, zv, dw, zw].
-    qs_ref: (bq, 1) fp32 Σ_d q8;  ks_ref: (1, tk) fp32 Σ_d k8.
+    qs_ref: (bq, 1) fp32 Σ_d q8;  ks_ref: (1, tk) fp32 Σ_d k8;
+    vs_ref: (nk, d) fp32 per-key-block column sums of v8 (precomputed
+    outside — an in-kernel reduction repeats per q-block grid cell).
     """
     dq, zq = sc_ref[0], sc_ref[1]
     dk, zk = sc_ref[2], sc_ref[3]
@@ -170,30 +185,36 @@ def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, o_ref,
     if quant_w:
         wnb, wpb = w_range
 
-        def fill(kb, _):
-            s_scr[:, pl.ds(kb * block_k, block_k)] = scores(kb)
-            return 0
+        def fill(kb, carry):
+            # online (m, l) tracked during the fill pass; see
+            # _quant_kernel for the pass-structure rationale
+            m, l = carry
+            s = scores(kb)
+            s_scr[:, pl.ds(kb * block_k, block_k)] = s
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new),
+                                                 axis=-1, keepdims=True)
+            return m_new, l
 
-        jax.lax.fori_loop(0, nk, fill, 0)
-        s_all = s_scr[:, :]
-        m = jnp.max(s_all, axis=-1, keepdims=True)
-        p = jnp.exp(s_all - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        p_q = jnp.clip(jnp.round(p / (l * dw)) + zw, wnb, wpb)  # levels
-        # int8 scratch: quarter the VMEM traffic of the PV sweep (the
-        # centered levels are integers, exactly representable)
-        p_scr[:, :] = (p_q - 128.0).astype(jnp.int8)
+        m0 = jnp.full((bm, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bm, 1), jnp.float32)
+        m, l = jax.lax.fori_loop(0, nk, fill, (m0, l0))
+        inv = 1.0 / (l * dw)   # one divide per row (see _quant_kernel)
 
         def pv(kb, acc):
-            p8 = p_scr[:, pl.ds(kb * block_k, block_k)]
+            s = s_scr[:, pl.ds(kb * block_k, block_k)]
+            # quantize to centered int8 levels in registers; the int8
+            # MXU matmul reads the converted block directly
+            p_q = jnp.clip(jnp.round(jnp.exp(s - m) * inv) + zw,
+                           wnb, wpb)
+            p8 = (p_q - 128.0).astype(jnp.int8)
             psum = jnp.sum(p8.astype(jnp.int32), axis=-1,
                            keepdims=True).astype(jnp.float32)
             v8 = v_ref[0, pl.ds(kb * block_k, block_k), :]
             pvi = jax.lax.dot_general(
                 p8, v8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
-            vsum = jnp.sum(v8.astype(jnp.int32), axis=0,
-                           keepdims=True).astype(jnp.float32)  # (1, d)
+            vsum = vs_ref[0, pl.ds(kb, 1), :]              # (1, d)
             # Σ_j dw·dv·(p_q - zw)(v_q - zv), with p8 = p_q - 128 and
             # v8 = v_q - 128:  (p8 + (128-zw))·(v8 - zv')
             #  = p8·v8 - zv'·Σ_j p8 + (128-zw)·Σ_j v8
@@ -282,8 +303,7 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + tensor_specs,
             out_specs=out_spec, out_shape=out_shape, cost_estimate=cost,
-            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32),
-                            pltpu.VMEM((block_q, tkp), jnp.int8)],
+            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32)],
             interpret=interpret)(dz, qp, kp, vp)
     else:  # "int8"
         # Quantize to int8 codes OUTSIDE the kernel (one fused XLA
@@ -299,6 +319,8 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
                        keepdims=True).astype(jnp.float32)
         ksum = jnp.sum(k8.astype(jnp.int32),
                        axis=-1).astype(jnp.float32)[:, None, :]
+        vsum = jnp.sum(v8.reshape(bh, nk, block_k, d).astype(jnp.int32),
+                       axis=2).astype(jnp.float32)       # (bh, nk, d)
         kern = functools.partial(
             _int8_kernel, block_k=block_k, nk=nk, tk_actual=tk,
             sm_scale=sm_scale, d_actual=float(d),
@@ -319,11 +341,12 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, tkp), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=out_spec, out_shape=out_shape, cost_estimate=cost,
-            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32),
-                            pltpu.VMEM((block_q, tkp), jnp.int8)],
-            interpret=interpret)(sc, q8, kt8, v8, qsum, ksum)
+            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32)],
+            interpret=interpret)(sc, q8, kt8, v8, qsum, ksum, vsum)
     return out[:, :tq, :]
 
 
@@ -333,7 +356,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     qkv_quant: Optional[Tuple] = None,
                     qrange: Optional[Tuple[int, int]] = None,
                     qkv_ranges: Optional[Tuple] = None,
-                    block_q: int = 128, block_k: int = 512,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     interpret: bool = False) -> jax.Array:
     """Blockwise attention over (B, H, T, D) tensors.
 
@@ -354,6 +378,16 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     qf = q.reshape(b * h, tq, d)
     kf = k.reshape(b * h, tk, d)
     vf = v.reshape(b * h, tk, d)
+    # Default tiles are LARGE (512x2048): per-cell overheads (pipeline
+    # ramp, k/v block re-reads, fori trip bookkeeping) dominate at these
+    # head dims well before VMEM pressure does — measured at SD 4096-
+    # token self-attention: pquant 11.7 -> 6.1 ms/call, int8 13.9 ->
+    # 8.7, fp 7.2 -> 4.4 vs the conventional 128x512 tiling. The fp32
+    # score scratch at (512, 4096) is 8 MB of the 128 MB VMEM.
+    if block_q is None:
+        block_q = 512
+    if block_k is None:
+        block_k = 2048
     bq = min(block_q, _round_up(tq, 128))
     bk = min(block_k, _round_up(tk, 128))
     if qrange is None and p_quant is not None:

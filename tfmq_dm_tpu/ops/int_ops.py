@@ -75,10 +75,11 @@ def quantize_weight_int(w: jax.Array, delta: jax.Array, zp: jax.Array,
     sym = cfg.qrange[0] < 0
     off = 0 if sym else 2 ** (cfg.bits - 1)
     d = broadcast_channel(delta, w.shape)
+    inv_d = 1.0 / d
     if alpha is not None:
-        w_int = jnp.floor(w / d) + (alpha >= 0)
+        w_int = jnp.floor(w * inv_d) + (alpha >= 0)
     else:
-        w_int = jnp.round(w / d)
+        w_int = jnp.round(w * inv_d)
     zpb = broadcast_channel(zp, w.shape)
     nb, pb = cfg.qrange
     w_q = jnp.clip(w_int + zpb, nb, pb) - off
@@ -102,7 +103,7 @@ def quantize_act_int8(x: jax.Array, delta: jax.Array, zp: jax.Array,
     off = 2 ** (cfg.bits - 1)
     nb, pb = cfg.qrange
     xf = x.astype(jnp.float32)
-    x_q = jnp.clip(jnp.round(xf / delta) + zp, nb, pb) - off
+    x_q = jnp.clip(jnp.round(xf * (1.0 / delta)) + zp, nb, pb) - off
     return x_q.astype(jnp.int8), (zp - off).astype(jnp.float32)
 
 

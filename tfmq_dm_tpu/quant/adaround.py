@@ -21,7 +21,7 @@ def init_alpha(w: jax.Array, delta: jax.Array) -> jax.Array:
     """alpha such that h(alpha) equals the fractional part of w/delta
     (adaptive_rounding.py:31-38)."""
     delta = broadcast_channel(delta, w.shape)
-    rest = w / delta - jnp.floor(w / delta)
+    rest = w * (1.0 / delta) - jnp.floor(w * (1.0 / delta))
     rest = jnp.clip(rest, 1e-4, 1.0 - 1e-4)  # guard log of 0/negative
     return -jnp.log((ZETA - GAMMA) / (rest - GAMMA) - 1.0)
 
@@ -42,7 +42,7 @@ def adaround_fq(w: jax.Array, delta: jax.Array, zero_point: jax.Array,
     """
     delta = broadcast_channel(delta, w.shape)
     zero_point = broadcast_channel(zero_point, w.shape)
-    w_floor = jnp.floor(w / delta)
+    w_floor = jnp.floor(w * (1.0 / delta))
     if soft:
         w_int = w_floor + soft_targets(alpha)
     else:

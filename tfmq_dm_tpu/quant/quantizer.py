@@ -66,7 +66,10 @@ def fake_quant(x: jax.Array, delta: jax.Array, zero_point: jax.Array,
     a bf16 inference path to fp32 wholesale (2x HBM, off the fast VPU
     path). The q/dq arithmetic itself runs in the promoted precision."""
     nb, pb = cfg.qrange
-    x_q = jnp.clip(ste_round(x / delta) + zero_point, nb, pb)
+    # reciprocal-multiply instead of a full-width divide (a fraction of
+    # VPU mul throughput); EVERY quantize path uses the same form so
+    # sim and deployed integer codes stay bit-identical to each other
+    x_q = jnp.clip(ste_round(x * (1.0 / delta)) + zero_point, nb, pb)
     return (delta * (x_q - zero_point)).astype(x.dtype)
 
 
@@ -74,7 +77,7 @@ def quant_int(x: jax.Array, delta: jax.Array, zero_point: jax.Array,
               cfg: QCfg, dtype=jnp.int8) -> jax.Array:
     """Real integer quantization (no dequant) for the deployment kernels."""
     nb, pb = cfg.qrange
-    x_q = jnp.clip(jnp.round(x / delta) + zero_point, nb, pb)
+    x_q = jnp.clip(jnp.round(x * (1.0 / delta)) + zero_point, nb, pb)
     return x_q.astype(dtype)
 
 
