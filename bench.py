@@ -81,7 +81,12 @@ def main():
                                           specialize_maps)
     from tfmq_dm_tpu.quant.fsc import _fsc_init
 
-    adapter = ddim_units.build_adapter(cfg, w_bits=8, a_bits=8)
+    # symmetric weight grids are the deployment default: bit-exact vs
+    # their own fake-quant sim, FID-equivalent at 8 bits, and the
+    # weight-zero-point activation-sum correction vanishes (scripts/
+    # ablate_cifar.py: sym beats the bf16 FP baseline, asym does not)
+    adapter = ddim_units.build_adapter(cfg, w_bits=8, a_bits=8,
+                                       w_sym=True)
     wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
     astate, _ = _fsc_init(adapter, "minmax", params, wstate,
                           (x[:8], t[:8]))

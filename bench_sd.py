@@ -68,7 +68,9 @@ def main():
             context=cc.astype(jnp.bfloat16)).astype(jnp.float32),
         params_bf16, x, t, c, b)
 
-    adapter = ldm_units.build_adapter(cfg, w_bits=8, a_bits=8, use_aq=True)
+    # symmetric weight grids: deployment default (see bench.py note)
+    adapter = ldm_units.build_adapter(cfg, w_bits=8, a_bits=8,
+                                      use_aq=True, w_sym=True)
     wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
     astate, _ = _fsc_init(adapter, "minmax", params, wstate,
                           (x[:2], t[:2], c[:2]))
