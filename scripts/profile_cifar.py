@@ -82,7 +82,11 @@ def main():
     print("trace at", outdir)
 
     # summarize: xplane -> op durations
-    from xprof.convert import _xplane_to_tools_data as conv
+    try:
+        from xprof.convert import _xplane_to_tools_data as conv
+    except ImportError:
+        print("xprof opstats unavailable; use scripts/trace_summary.py")
+        return
     sess = glob.glob(os.path.join(outdir, "plugins/profile/*"))[-1]
     xspaces = glob.glob(os.path.join(sess, "*.xplane.pb"))
     data, _ = conv.xspace_to_tool_data(xspaces, "framework_op_stats", {})

@@ -163,7 +163,17 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         vt = v.transpose(0, 2, 1, 3)
         p_quant = ((pw[1]["delta"], pw[1]["zp"]), pw[0].qrange) \
             if pw is not None else (None, None)
-        if _INT8 and all(_scalar_asym(p) for p in (pq, pk, pv)):
+        # fast-deploy (bf16 carriers): XLA fake-quant of q/k/v + the
+        # pquant kernel beats the full-int8 kernel at every measured
+        # diffusion shape (sd 4096x40: 7.3 vs 8.7 ms; 1024x80: 0.47 vs
+        # 0.59) — the int8 QK gains nothing at contraction dim 40-80
+        # while its zero-point corrections cost VPU work. The exact
+        # (f32-carrier) deployment keeps the int8 kernel: integer
+        # matmuls + exact corrections, no bf16 matmul rounding.
+        fast = (qctx is not None and qctx.deploy is not None
+                and qctx.act_out_dtype == jnp.bfloat16)
+        if (_INT8 and not fast
+                and all(_scalar_asym(p) for p in (pq, pk, pv))):
             out = flash_attention(
                 qt, kt, vt, sm_scale=sm_scale,
                 qkv_quant=tuple((p[1]["delta"], p[1]["zp"])
