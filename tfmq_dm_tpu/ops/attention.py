@@ -186,8 +186,12 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                 qt, kt, vt, sm_scale=sm_scale, p_quant=p_quant[0],
                 qrange=p_quant[1], interpret=interp)
             return out.transpose(0, 2, 1, 3).astype(out_dtype)
-        # mixed/per-channel site configs: fake-quant inputs elementwise,
-        # then the (optionally w-quantized) flash kernel
+        # mixed/per-channel site configs AND the fast-deploy route:
+        # fake-quant inputs elementwise, then the (optionally
+        # w-quantized) flash kernel. (A bf16 score scratch was measured
+        # SLOWER than f32 at 512x2048 tiles — the per-element cast
+        # overhead exceeds the saved VMEM traffic — so the score_dtype
+        # knob stays at its f32 default.)
         if qctx is not None:
             q = qctx.qact(sites.get("q"), q) if pq is not None else q
             k = qctx.qact(sites.get("k"), k) if pk is not None else k

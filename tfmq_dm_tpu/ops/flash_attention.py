@@ -94,7 +94,8 @@ def _fp_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, nk, tk_actual,
 
 
 def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, *,
-                  block_k, nk, tk_actual, sm_scale, nb, pb, out_dtype):
+                  block_k, nk, tk_actual, sm_scale, nb, pb, out_dtype,
+                  score_dtype=jnp.float32):
     """Softmax-output quant (aqtizer_w) over exact normalized
     probabilities, which cannot ride one-pass rescaling (round() is
     non-linear in the running denominator). Two passes, both fused:
@@ -121,7 +122,11 @@ def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, *,
             q, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
         s = _mask_cols(s, kb, block_k, tk_actual)
-        s_scr[:, pl.ds(kb * block_k, block_k)] = s
+        # bf16 scratch (fast mode) halves the dominant VMEM scratch
+        # traffic; (m, l) are computed from the ROUNDED values so the
+        # pv pass quantizes against a consistent denominator
+        s = s.astype(score_dtype).astype(jnp.float32)
+        s_scr[:, pl.ds(kb * block_k, block_k)] = s.astype(score_dtype)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new),
                                              axis=-1, keepdims=True)
@@ -136,7 +141,7 @@ def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, *,
 
     def pv(kb, acc):
         vs = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = s_scr[:, pl.ds(kb * block_k, block_k)]
+        s = s_scr[:, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
         p_q = jnp.clip(jnp.round(jnp.exp(s - m) * inv) + zp, nb, pb)
         p_fq = delta * (p_q - zp)
         return acc + jax.lax.dot_general(
@@ -255,9 +260,10 @@ def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, vs_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("sm_scale", "qrange", "ranges", "block_q",
-                              "block_k", "interpret", "mode"))
+                              "block_k", "interpret", "mode",
+                              "score_dtype"))
 def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
-                block_k, interpret, mode):
+                block_k, interpret, mode, score_dtype=jnp.float32):
     bh, tq, d = q.shape
     tk = k.shape[1]
     tqp = _round_up(tq, block_q)
@@ -297,13 +303,13 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
         kern = functools.partial(
             _quant_kernel, block_k=block_k, nk=nk, tk_actual=tk,
             sm_scale=sm_scale, nb=float(nb), pb=float(pb),
-            out_dtype=q.dtype)
+            out_dtype=q.dtype, score_dtype=score_dtype)
         out = pl.pallas_call(
             kern, grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + tensor_specs,
             out_specs=out_spec, out_shape=out_shape, cost_estimate=cost,
-            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((block_q, tkp), score_dtype)],
             interpret=interpret)(dz, qp, kp, vp)
     else:  # "int8"
         # Quantize to int8 codes OUTSIDE the kernel (one fused XLA
@@ -358,6 +364,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     qkv_ranges: Optional[Tuple] = None,
                     block_q: Optional[int] = None,
                     block_k: Optional[int] = None,
+                    score_dtype=jnp.float32,
                     interpret: bool = False) -> jax.Array:
     """Blockwise attention over (B, H, T, D) tensors.
 
@@ -413,7 +420,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         out = _flash_call(qf, kf, vf, dz, None, sm_scale=float(sm_scale),
                           qrange=tuple(qrange), ranges=None,
                           block_q=bq, block_k=bk, interpret=interpret,
-                          mode="pquant")
+                          mode="pquant", score_dtype=score_dtype)
     else:
         out = _flash_call(qf, kf, vf, None, None,
                           sm_scale=float(sm_scale), qrange=None,
