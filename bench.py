@@ -30,7 +30,9 @@ from jax import lax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-N_SHORT, N_LONG, REPS = 10, 60, 3
+# long chains: the shared tunnel chip shows +-10% noise on sub-second
+# measurements; ~1 s of on-device work per rep tightens the estimate
+N_SHORT, N_LONG, REPS = 20, 220, 4
 
 
 def _steps_per_sec(step_fn, params, x, t, batch):

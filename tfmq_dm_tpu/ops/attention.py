@@ -202,8 +202,14 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             p_quant=p_quant[0], qrange=p_quant[1], interpret=interp)
         return out.transpose(0, 2, 1, 3).astype(out_dtype)
 
-    # deployed small-T path: int8 matmuls without the flash kernel
+    # deployed small-T path: int8 matmuls without the flash kernel.
+    # Fast-deploy (bf16 carriers) skips this too — the fake-quant
+    # materialized path below, fully fused by XLA, measured 2x faster
+    # at CIFAR's 256-token attention (70 vs 135 us/call): at small T
+    # the int8 zero-point corrections and extra sweeps dominate the
+    # MXU savings. The exact f32 deployment keeps integer matmuls.
     if (_INT8 and qctx is not None and qctx.deploy is not None
+            and qctx.act_out_dtype != jnp.bfloat16
             and qctx.act_mode is None and qctx.capture is None
             and all(_scalar_asym(p) for p in (pq, pk, pv))
             and (pw is None or _scalar_asym(pw))):
