@@ -201,3 +201,45 @@ def test_int8_materialized_matches_fake_quant_reference(with_w):
                                       jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_fast_mode_skips_int8_materialized(monkeypatch):
+    """bf16-carrier (fast) deployments route small-T attention through
+    the XLA fake-quant materialized path (2x faster at CIFAR shapes);
+    exact f32 deployments keep _int8_materialized. Both agree to act-
+    quant tolerance."""
+    from tfmq_dm_tpu.quant.context import QuantCtx
+    from tfmq_dm_tpu.quant.policy import LayerPolicy, QuantPolicy
+
+    acfg = QCfg(bits=8, symmetric=False)
+    pol = QuantPolicy({s: LayerPolicy(w_cfg=None, a_cfg=acfg, wq=False,
+                                      aq=True) for s in ("q", "k", "v")},
+                      order=[])
+    ast = {s: {"delta": jnp.float32(0.03), "zp": jnp.float32(128.0)}
+           for s in ("q", "k", "v")}
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = _rand(k1, 2, 64, 1, 32)
+    k = _rand(k2, 2, 64, 1, 32)
+    v = _rand(k3, 2, 64, 1, 32)
+    sites = {"q": "q", "k": "k", "v": "v"}
+    calls = []
+    orig = attn_ops._int8_materialized
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(attn_ops, "_int8_materialized", spy)
+
+    def ctx(dtype):
+        c = QuantCtx(pol, astate=ast, use_aq=True, deploy={"dummy": None},
+                     act_out_dtype=dtype)
+        return c
+
+    exact = attn_ops.qsm_attention(q, k, v, 32 ** -0.5, ctx(None), sites)
+    assert len(calls) == 1
+    fast = attn_ops.qsm_attention(q, k, v, 32 ** -0.5,
+                                  ctx(jnp.bfloat16), sites)
+    assert len(calls) == 1   # fast mode did NOT take the int8 path
+    np.testing.assert_allclose(np.asarray(fast).astype(np.float32),
+                               np.asarray(exact), atol=0.05, rtol=0.05)
