@@ -107,3 +107,36 @@ def test_sharded_harvest_matches_single(setup):
         shard_batch(mesh, x0), jax.random.PRNGKey(7))
     np.testing.assert_allclose(np.asarray(xs_dp), np.asarray(xs_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_sample_fid_dp_mesh(setup, tmp_path):
+    """FID sampling with a dp mesh: batch sharded over 8 CPU devices,
+    bundle replicated, identical results to single-device sampling
+    (cli.py --dp N path)."""
+    from tfmq_dm_tpu.configs.tasks import tiny_ddim
+    from tfmq_dm_tpu.pipelines import sampling
+    from tfmq_dm_tpu.samplers import ddim as ddim_s
+    from tfmq_dm_tpu.utils.schedules import get_beta_schedule, skip_seq
+
+    params, adapter, _ = setup
+    task = tiny_ddim()
+    betas = get_beta_schedule(task.beta_schedule, beta_start=task.beta_start,
+                              beta_end=task.beta_end,
+                              num_diffusion_timesteps=task.num_timesteps)
+    seq = skip_seq("uniform", task.num_timesteps, 3)
+
+    def sampler_fn(model, x, k):
+        return ddim_s.generalized_scan(model, betas, seq, x)
+
+    def model_fn(b, x, t, s):
+        return ddim_unet.apply(b["params"], CFG, x, t)
+
+    bundle = {"params": params}
+    key = jax.random.PRNGKey(11)
+    ref = sampling.sample_fid(task, sampler_fn, model_fn, n_images=16,
+                              batch_size=8, key=key, bundle=bundle)
+    mesh = make_mesh(dp=8, tp=1)
+    got = sampling.sample_fid(task, sampler_fn, model_fn, n_images=16,
+                              batch_size=8, key=key,
+                              bundle=replicate(mesh, bundle), mesh=mesh)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)

@@ -78,6 +78,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--num_images", type=int, default=64)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--npz", action="store_true", help="dump npz for FID")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard each sampling batch across N devices "
+                        "(0 = single device; batch must divide)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel param sharding over N devices "
+                        "(combines with --dp on a dp x tp mesh)")
     p.add_argument("--interpolation", action="store_true",
                    help="slerp trajectory between two random latents "
                         "(the reference's --interpolation mode)")
@@ -305,12 +311,21 @@ def main(argv=None) -> int:
             out_dir=os.path.join(args.out, "img"),
             vae_params=vae_params)
     else:
+        mesh = None
+        if args.dp > 1 or args.tp > 1:
+            from .parallel.mesh import (make_mesh, replicate,
+                                        shard_params_tp)
+            mesh = make_mesh(dp=args.dp or None, tp=args.tp)
+            logger.info("sampling mesh: %s", dict(mesh.shape))
+            bundle = replicate(mesh, bundle)
+            if args.tp > 1:
+                bundle["params"] = shard_params_tp(mesh, bundle["params"])
         logger.info("sampling %d images (batch %d)", n, args.batch)
         sampling.sample_fid(
             task, sampler_fn, model_fn, n_images=n,
             batch_size=args.batch, key=key,
             out_dir=os.path.join(args.out, "img"),
-            vae_params=vae_params, bundle=bundle,
+            vae_params=vae_params, bundle=bundle, mesh=mesh,
             npz_path=os.path.join(args.out, "samples.npz") if args.npz
             else None, watermark=args.watermark,
             grid_path=os.path.join(args.out, "grid.png") if args.grid

@@ -98,7 +98,7 @@ def sample_fid(task: TaskConfig, sampler_fn: Callable, model_fn: Callable,
                vae_params: Optional[dict] = None,
                npz_path: Optional[str] = None,
                bundle=None, watermark: bool = False,
-               grid_path: Optional[str] = None) -> np.ndarray:
+               grid_path: Optional[str] = None, mesh=None) -> np.ndarray:
     """Generate ``n_images`` with the given sampler; returns the
     (N,H,W,C) uint8-convertible array in [0,1] and optionally writes
     PNGs + a single npz (the reference's FID evaluation protocol).
@@ -107,10 +107,22 @@ def sample_fid(task: TaskConfig, sampler_fn: Callable, model_fn: Callable,
     when given, ``model_fn(bundle, x, t, step)`` and the bundle crosses
     the jit boundary as an ARGUMENT — closed-over concrete params get
     embedded as constants in the compiled program, which blows up
-    compile payloads for large UNets."""
+    compile payloads for large UNets.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a "dp" axis — each
+    sampling batch's leading axis is sharded across it, so FID
+    generation scales across chips with zero per-step communication
+    (samples are independent; the reference's multi-GPU sampling just
+    splits -n across ranks, calibration.py:269-282 style). The caller
+    owns the bundle's placement: pre-shard params with
+    ``parallel.mesh.shard_params_tp`` for tensor parallelism, or leave
+    replicated. ``batch_size`` must be divisible by the dp size."""
     shape = (task.unet.resolution if task.family == "ddim"
              else task.unet.image_size)
     cin = task.unet.in_channels
+    if mesh is not None:
+        assert batch_size % mesh.shape["dp"] == 0, \
+            (batch_size, dict(mesh.shape))
 
     if bundle is not None:
         run_b = jax.jit(lambda b, x, k: sampler_fn(
@@ -126,6 +138,9 @@ def sample_fid(task: TaskConfig, sampler_fn: Callable, model_fn: Callable,
         b = min(batch_size, n_images - done)
         key, k1, k2 = jax.random.split(key, 3)
         x0 = jax.random.normal(k1, (batch_size, shape, shape, cin))
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            x0 = shard_batch(mesh, x0)
         t0 = time.perf_counter()
         out = run(x0, k2)
         if vae_params is not None:
