@@ -243,3 +243,33 @@ def test_fast_mode_skips_int8_materialized(monkeypatch):
     assert len(calls) == 1   # fast mode did NOT take the int8 path
     np.testing.assert_allclose(np.asarray(fast).astype(np.float32),
                                np.asarray(exact), atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("with_w", [True, False])
+def test_fqk_kernel_matches_xla_fake_quant(with_w):
+    """The fast-deploy kernel (in-kernel fq on load, bf16 matmuls) must
+    agree with XLA fake_quant of q/k/v + the pquant/fp kernel."""
+    from tfmq_dm_tpu.quant.quantizer import fake_quant
+
+    acfg = QCfg(bits=8, symmetric=False)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = _rand(k1, 2, 2, 140, 48).astype(jnp.bfloat16)
+    k = _rand(k2, 2, 2, 140, 48).astype(jnp.bfloat16)
+    v = _rand(k3, 2, 2, 140, 48).astype(jnp.bfloat16)
+    dq = jnp.float32(0.021); zq = jnp.float32(121.0)
+    dk = jnp.float32(0.017); zk = jnp.float32(133.0)
+    dv = jnp.float32(0.024); zv = jnp.float32(125.0)
+    dw = jnp.float32(1 / 251.); zw = jnp.float32(0.0)
+    pq = (dw, zw) if with_w else None
+    got = flash_attention(q, k, v, sm_scale=48 ** -0.5,
+                          qkv_quant=((dq, zq), (dk, zk), (dv, zv)),
+                          qkv_ranges=(acfg.qrange,) * 3,
+                          p_quant=pq, int8_matmul=False, interpret=True)
+    qf = fake_quant(q, dq, zq, acfg)
+    kf = fake_quant(k, dk, zk, acfg)
+    vf = fake_quant(v, dv, zv, acfg)
+    ref = flash_attention(qf, kf, vf, sm_scale=48 ** -0.5, p_quant=pq,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got).astype(np.float32),
+                               np.asarray(ref).astype(np.float32),
+                               atol=5e-3, rtol=5e-3)

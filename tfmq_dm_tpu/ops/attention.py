@@ -172,14 +172,17 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # matmuls + exact corrections, no bf16 matmul rounding.
         fast = (qctx is not None and qctx.deploy is not None
                 and qctx.act_out_dtype == jnp.bfloat16)
-        if (_INT8 and not fast
-                and all(_scalar_asym(p) for p in (pq, pk, pv))):
+        if _INT8 and all(_scalar_asym(p) for p in (pq, pk, pv)):
+            # fast mode: in-kernel fake-quant + bf16 matmuls (fqk) —
+            # no XLA pre-sweeps, no zero-point corrections; exact mode:
+            # full int8 matmuls with exact corrections
             out = flash_attention(
                 qt, kt, vt, sm_scale=sm_scale,
                 qkv_quant=tuple((p[1]["delta"], p[1]["zp"])
                                 for p in (pq, pk, pv)),
                 qkv_ranges=tuple(p[0].qrange for p in (pq, pk, pv)),
-                p_quant=p_quant[0], qrange=p_quant[1], interpret=interp)
+                p_quant=p_quant[0], qrange=p_quant[1],
+                int8_matmul=not fast, interpret=interp)
             return out.transpose(0, 2, 1, 3).astype(out_dtype)
         if pq is None and pk is None and pv is None:
             out = flash_attention(

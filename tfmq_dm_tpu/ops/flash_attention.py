@@ -56,6 +56,14 @@ def _mask_cols(s, kb, block_k, tk_actual):
     return jnp.where(col < tk_actual, s, NEG_INF)
 
 
+def _fq(x, delta, zp, nb, pb, dtype):
+    """In-kernel fake-quant; bit-matches quantizer.fake_quant (f32
+    q/dq arithmetic, result cast to the carrier dtype)."""
+    xf = x.astype(jnp.float32)
+    xq = jnp.clip(jnp.round(xf * (1.0 / delta)) + zp, nb, pb)
+    return (delta * (xq - zp)).astype(dtype)
+
+
 def _quant_i8(x, delta, zp, nb, pb):
     """Centered int8 act codes: clip(round(x/delta)+zp, nb, pb) - 128."""
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / delta)) + zp,
@@ -147,6 +155,81 @@ def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, *,
         return acc + jax.lax.dot_general(
             p_fq.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, nk, pv, jnp.zeros((bm, d), jnp.float32))
+    o_ref[0] = acc.astype(out_dtype)
+
+
+def _fqk_kernel(sc_ref, q_ref, k_ref, v_ref, o_ref, s_scr, kf_scr,
+                vf_scr, *, block_k, nk, tk_actual, sm_scale, ranges,
+                w_range, quant_w, out_dtype):
+    """Fast-deploy kernel: q/k/v fake-quantized IN-KERNEL (saves three
+    full XLA elementwise sweeps over the activations), bf16 matmuls,
+    optional softmax-output quant with the fused two-pass structure of
+    _quant_kernel. k/v are fq'd ONCE per (b,h) into persistent VMEM
+    scratch on the first q-block — TPU grid cells run sequentially with
+    the q-block as the minor dimension, so the scratch survives across
+    the row's cells (a per-cell fq re-did that work nq times and gave
+    the in-kernel variant no net win). sc_ref (SMEM): [dq, zq, dk, zk,
+    dv, zv, dw, zw]."""
+    dq, zq = sc_ref[0], sc_ref[1]
+    dk, zk = sc_ref[2], sc_ref[3]
+    dv, zv = sc_ref[4], sc_ref[5]
+    dw, zw = sc_ref[6], sc_ref[7]
+    (qnb, qpb), (knb, kpb), (vnb, vpb) = ranges
+    qraw = q_ref[0]
+    mdt = qraw.dtype
+    q = _fq(qraw, dq, zq, qnb, qpb, mdt)
+    bm, d = q.shape
+
+    @pl.when(pl.program_id(1) == 0)
+    def _prep():
+        def one(kb, _):
+            sl = pl.ds(kb * block_k, block_k)
+            kf_scr[sl, :] = _fq(k_ref[0, sl, :], dk, zk, knb, kpb, mdt)
+            vf_scr[sl, :] = _fq(v_ref[0, sl, :], dv, zv, vnb, vpb, mdt)
+            return 0
+        jax.lax.fori_loop(0, nk, one, 0)
+
+    def fill(kb, carry):
+        m, l = carry
+        ks = kf_scr[pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        s = _mask_cols(s, kb, block_k, tk_actual)
+        s_scr[:, pl.ds(kb * block_k, block_k)] = s
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new),
+                                             axis=-1, keepdims=True)
+        return m_new, l
+
+    m0 = jnp.full((bm, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bm, 1), jnp.float32)
+    m, l = jax.lax.fori_loop(0, nk, fill, (m0, l0))
+    if quant_w:
+        wnb, wpb = w_range
+        inv = 1.0 / (l * dw)
+
+        def pv(kb, acc):
+            vs = vf_scr[pl.ds(kb * block_k, block_k), :]
+            sblk = s_scr[:, pl.ds(kb * block_k, block_k)]
+            p_q = jnp.clip(jnp.round(jnp.exp(sblk - m) * inv) + zw,
+                           wnb, wpb)
+            p_fq = dw * (p_q - zw)
+            return acc + jax.lax.dot_general(
+                p_fq.astype(mdt), vs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    else:
+        inv = 1.0 / l
+
+        def pv(kb, acc):
+            vs = vf_scr[pl.ds(kb * block_k, block_k), :]
+            sblk = s_scr[:, pl.ds(kb * block_k, block_k)]
+            p = jnp.exp(sblk - m) * inv
+            return acc + jax.lax.dot_general(
+                p.astype(mdt), vs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, nk, pv, jnp.zeros((bm, d), jnp.float32))
     o_ref[0] = acc.astype(out_dtype)
@@ -298,6 +381,23 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
             kern, grid=grid, in_specs=tensor_specs, out_specs=out_spec,
             out_shape=out_shape, cost_estimate=cost,
             interpret=interpret)(qp, kp, vp)
+    elif mode == "fqk":
+        kern = functools.partial(
+            _fqk_kernel, block_k=block_k, nk=nk, tk_actual=tk,
+            sm_scale=sm_scale,
+            ranges=tuple((float(a), float(b)) for a, b in ranges),
+            w_range=(None if qrange is None else
+                     (float(qrange[0]), float(qrange[1]))),
+            quant_w=qrange is not None, out_dtype=q.dtype)
+        out = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + tensor_specs,
+            out_specs=out_spec, out_shape=out_shape, cost_estimate=cost,
+            scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32),
+                            pltpu.VMEM((tkp, d), q.dtype),
+                            pltpu.VMEM((tkp, d), q.dtype)],
+            interpret=interpret)(sc, qp, kp, vp)
     elif mode == "pquant":
         nb, pb = qrange
         kern = functools.partial(
@@ -362,6 +462,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     qkv_quant: Optional[Tuple] = None,
                     qrange: Optional[Tuple[int, int]] = None,
                     qkv_ranges: Optional[Tuple] = None,
+                    int8_matmul: bool = True,
                     block_q: Optional[int] = None,
                     block_k: Optional[int] = None,
                     score_dtype=jnp.float32,
@@ -379,6 +480,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     and BOTH matmuls execute int8 on the MXU with exact zero-point
     corrections. ``qkv_ranges``: clamp ranges, default asymmetric
     (0, 255) each.
+
+    ``int8_matmul=False`` (with qkv_quant) selects the fast-deploy
+    kernel instead: q/k/v fake-quantized in-kernel on load, bf16
+    matmuls — no XLA pre-sweeps, no zero-point corrections. Faster at
+    diffusion head dims; exact deployments keep int8.
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
@@ -392,7 +498,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     # 8.7, fp 7.2 -> 4.4 vs the conventional 128x512 tiling. The fp32
     # score scratch at (512, 4096) is 8 MB of the 128 MB VMEM.
     if block_q is None:
-        block_q = 512
+        # fqk carries two extra (Tk, D) fq scratches; 256 keeps the
+        # scoped-VMEM stack under the 16 MB compiler limit at T=4096
+        # (and measured within 4% of 512 tiles)
+        block_q = 256 if (qkv_quant is not None
+                          and not int8_matmul) else 512
     if block_k is None:
         block_k = 2048
     bq = min(block_q, _round_up(tq, 128))
@@ -412,7 +522,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                           else tuple(qrange),
                           ranges=tuple(tuple(r) for r in qkv_ranges),
                           block_q=bq, block_k=bk, interpret=interpret,
-                          mode="int8")
+                          mode="int8" if int8_matmul else "fqk")
     elif p_quant is not None:
         delta, zp = p_quant
         dz = jnp.stack([jnp.asarray(delta, jnp.float32).reshape(()),
