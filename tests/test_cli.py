@@ -21,10 +21,10 @@ ENV = dict(os.environ, JAX_PLATFORMS="cpu",
            PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
 
 
-def _run(args):
+def _run(args, env=None):
     return subprocess.run(
         [sys.executable, "-m", "tfmq_dm_tpu.cli"] + args,
-        capture_output=True, text=True, env=ENV, cwd="/root/repo",
+        capture_output=True, text=True, env=env or ENV, cwd="/root/repo",
         timeout=1200)
 
 
@@ -120,3 +120,17 @@ def test_cli_class_cond_cali_and_sample(tmp_path):
               "--classes", "0,1", "--out", out])
     assert r.returncode == 0, r.stderr[-3000:]
     assert len(os.listdir(os.path.join(out, "img"))) == 2
+
+
+def test_cli_dp_sampling(tmp_path):
+    """--dp N shards each sampling batch across a device mesh
+    (pipelines/sampling.sample_fid mesh path) through the real CLI."""
+    ckpt = str(tmp_path / "ddpm.pth")
+    _save_ddim_ckpt(ckpt)
+    out = str(tmp_path / "rundp")
+    env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    r = _run(["--task", "tiny_ddim", "--ckpt", ckpt,
+              "-n", "4", "--batch", "4", "--dp", "4", "--out", out], env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "sampling mesh" in r.stderr
+    assert len(os.listdir(os.path.join(out, "img"))) == 4
