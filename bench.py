@@ -78,7 +78,8 @@ def main():
         params_bf16, x, t, b)
 
     # w8a8 DEPLOYED integer path (real int8 MXU convs, bf16 elsewhere)
-    from tfmq_dm_tpu.quant.deploy import (deploy_weights,
+    from tfmq_dm_tpu.quant.deploy import (cast_fp_params,
+                                          deploy_weights,
                                           make_deployed_model_fn,
                                           specialize_maps)
     from tfmq_dm_tpu.quant.fsc import _fsc_init
@@ -98,9 +99,7 @@ def main():
                                example_args=(x[:1], t[:1]), use_aq=True)
     # fast-deploy carriers: FP-fallback layers + glue ops run bf16 (the
     # same dtype as the FP baseline); int8 correction math stays f32
-    params_q = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16)
-        if a.dtype == jnp.float32 else a, params)
+    params_q = cast_fp_params(params)
 
     def q_step(bundle, xx, tt):
         p, dep, ast = bundle

@@ -48,7 +48,8 @@ def _steps_per_sec(step_fn, params, x, t, c, batch):
 
 def main():
     from tfmq_dm_tpu.models import ldm_unet, ldm_units
-    from tfmq_dm_tpu.quant.deploy import (deploy_weights,
+    from tfmq_dm_tpu.quant.deploy import (cast_fp_params,
+                                          deploy_weights,
                                           make_deployed_model_fn,
                                           specialize_maps)
     from tfmq_dm_tpu.quant.fsc import _fsc_init
@@ -80,9 +81,7 @@ def main():
                                example_args=(x[:1], t[:1], c[:1]),
                                use_aq=True)
     # fast-deploy carriers: FP-fallback layers + glue ops run bf16
-    params_q = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16)
-        if a.dtype == jnp.float32 else a, params)
+    params_q = cast_fp_params(params)
 
     def q_step(bundle, xx, tt, cc):
         p, dep, ast = bundle

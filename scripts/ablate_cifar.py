@@ -52,7 +52,8 @@ def _steps_per_sec(step_fn, params, x, t, batch):
 def main():
     from tfmq_dm_tpu.models import ddim_unet, ddim_units
     from tfmq_dm_tpu.ops import attention as attn_ops
-    from tfmq_dm_tpu.quant.deploy import (deploy_weights,
+    from tfmq_dm_tpu.quant.deploy import (cast_fp_params,
+                                          deploy_weights,
                                           make_deployed_model_fn,
                                           specialize_maps)
     from tfmq_dm_tpu.quant.fsc import _fsc_init
@@ -81,9 +82,9 @@ def main():
         print("fp", round(results["fp"], 2), flush=True)
 
     def quant_variant(w_sym, attn_aq=True, conv_aq=True, use_aq=True,
-                      flash="auto"):
+                      flash="auto", w_bits=8):
         attn_ops.set_flash(flash)
-        adapter = ddim_units.build_adapter(cfg, w_bits=8, a_bits=8,
+        adapter = ddim_units.build_adapter(cfg, w_bits=w_bits, a_bits=8,
                                            w_sym=w_sym)
         for name, pol in adapter.policy.layers.items():
             if pol.w_cfg is None and not attn_aq:
@@ -101,9 +102,7 @@ def main():
                                    use_aq=use_aq)
         # fast-deploy carriers: FP-fallback layers + glue ops run bf16
         # (same dtype as the FP baseline); int correction math stays f32
-        pd = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, params)
+        pd = cast_fp_params(params)
 
         def q_step(bundle, xx, tt):
             p, dep, ast = bundle
@@ -119,6 +118,7 @@ def main():
     variants = {
         "w8a8": dict(w_sym=False),
         "w8a8_sym": dict(w_sym=True),
+        "w4a8": dict(w_sym=True, w_bits=4),
         "attn_fp": dict(w_sym=True, attn_aq=False),
         "attn_flash": dict(w_sym=True, flash="on"),
         "conv_wo": dict(w_sym=True, conv_aq=False),

@@ -22,7 +22,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def build_step(variant):
     from tfmq_dm_tpu.models import ddim_unet, ddim_units
-    from tfmq_dm_tpu.quant.deploy import (deploy_weights,
+    from tfmq_dm_tpu.quant.deploy import (cast_fp_params,
+                                          deploy_weights,
                                           make_deployed_model_fn,
                                           specialize_maps)
     from tfmq_dm_tpu.quant.fsc import _fsc_init
@@ -61,8 +62,7 @@ def build_step(variant):
                                     act_dtype=jnp.bfloat16)
         return fn(xx.astype(jnp.bfloat16), tt, 0).astype(jnp.float32)
 
-    pd = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
-                      if a.dtype == jnp.float32 else a, params)
+    pd = cast_fp_params(params)
     return step, (pd, deployed, astate), x, t
 
 

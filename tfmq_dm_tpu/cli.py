@@ -254,9 +254,8 @@ def main(argv=None) -> int:
             # correction math stays f32. float32 keeps the deployed
             # model bit-exact vs its fake-quant simulation.
             deploy_dtype = jnp.bfloat16
-            params = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if a.dtype == jnp.float32 else a, params)
+            from .quant.deploy import cast_fp_params
+            params = cast_fp_params(params)
 
     # Model state crosses the jit boundary as one ARGUMENT pytree —
     # closing over concrete params would embed them as constants in the
@@ -315,7 +314,11 @@ def main(argv=None) -> int:
         if args.dp > 1 or args.tp > 1:
             from .parallel.mesh import (make_mesh, replicate,
                                         shard_params_tp)
-            mesh = make_mesh(dp=args.dp or None, tp=args.tp)
+            # --tp alone must not also shard the batch: dp stays 1
+            # unless explicitly requested (make_mesh infers dp from the
+            # device count when passed None)
+            mesh = make_mesh(dp=args.dp if args.dp > 1 else 1,
+                             tp=args.tp)
             logger.info("sampling mesh: %s", dict(mesh.shape))
             bundle = replicate(mesh, bundle)
             if args.tp > 1:

@@ -163,13 +163,13 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         vt = v.transpose(0, 2, 1, 3)
         p_quant = ((pw[1]["delta"], pw[1]["zp"]), pw[0].qrange) \
             if pw is not None else (None, None)
-        # fast-deploy (bf16 carriers): XLA fake-quant of q/k/v + the
-        # pquant kernel beats the full-int8 kernel at every measured
-        # diffusion shape (sd 4096x40: 7.3 vs 8.7 ms; 1024x80: 0.47 vs
-        # 0.59) — the int8 QK gains nothing at contraction dim 40-80
-        # while its zero-point corrections cost VPU work. The exact
-        # (f32-carrier) deployment keeps the int8 kernel: integer
-        # matmuls + exact corrections, no bf16 matmul rounding.
+        # fast-deploy (bf16 carriers): the fqk kernel (in-kernel
+        # fake-quant, bf16 matmuls, no zero-point corrections) — the
+        # int8 QK matmul gains nothing at contraction dim 40-80 while
+        # its corrections cost VPU work (sd 4096x40: fqk 6.8 vs int8
+        # 8.7 ms/call). The exact (f32-carrier) deployment keeps the
+        # int8 kernel: integer matmuls + exact corrections, no bf16
+        # matmul rounding.
         fast = (qctx is not None and qctx.deploy is not None
                 and qctx.act_out_dtype == jnp.bfloat16)
         if _INT8 and all(_scalar_asym(p) for p in (pq, pk, pv)):
@@ -189,9 +189,9 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                 qt, kt, vt, sm_scale=sm_scale, p_quant=p_quant[0],
                 qrange=p_quant[1], interpret=interp)
             return out.transpose(0, 2, 1, 3).astype(out_dtype)
-        # mixed/per-channel site configs AND the fast-deploy route:
-        # fake-quant inputs elementwise, then the (optionally
-        # w-quantized) flash kernel. (A bf16 score scratch was measured
+        # mixed/per-channel site configs (non-scalar grids): fake-quant
+        # inputs elementwise, then the (optionally w-quantized) flash
+        # kernel. (A bf16 score scratch was measured
         # SLOWER than f32 at 512x2048 tiles — the per-element cast
         # overhead exceeds the saved VMEM traffic — so the score_dtype
         # knob stays at its f32 default.)

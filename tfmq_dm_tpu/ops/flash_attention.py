@@ -425,8 +425,17 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
                        keepdims=True).astype(jnp.float32)
         ksum = jnp.sum(k8.astype(jnp.int32),
                        axis=-1).astype(jnp.float32)[:, None, :]
-        vsum = jnp.sum(v8.reshape(bh, nk, block_k, d).astype(jnp.int32),
-                       axis=2).astype(jnp.float32)       # (bh, nk, d)
+        if qrange is not None:
+            vsum = jnp.sum(
+                v8.reshape(bh, nk, block_k, d).astype(jnp.int32),
+                axis=2).astype(jnp.float32)              # (bh, nk, d)
+            nkv = nk
+        else:
+            # the kernel's non-quant_w branch never reads vs_ref; a
+            # 1-block dummy avoids a full reduction over v8 + per-cell
+            # DMA for an unused value
+            vsum = jnp.zeros((bh, 1, d), jnp.float32)
+            nkv = 1
         kern = functools.partial(
             _int8_kernel, block_k=block_k, nk=nk, tk_actual=tk,
             sm_scale=sm_scale, d_actual=float(d),
@@ -447,7 +456,7 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, tkp), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0),
+                pl.BlockSpec((1, nkv, d), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=out_spec, out_shape=out_shape, cost_estimate=cost,

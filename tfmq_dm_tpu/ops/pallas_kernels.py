@@ -55,7 +55,7 @@ def _int8_mm_kernel(sc_ref, x_ref, wq_ref, dly_ref, zpc_ref, wsum_ref,
     zp_xc = sc_ref[1]
     x = x_ref[:].astype(jnp.float32)               # (bm, bk); bf16 DMA
     # per-tensor act quantization to centered int8
-    x_q = jnp.clip(jnp.round(x / dx) + (zp_xc + 128.0), 0.0, 255.0) - 128.0
+    x_q = jnp.clip(jnp.round(x * (1.0 / dx)) + (zp_xc + 128.0), 0.0, 255.0) - 128.0
     x_q8 = x_q.astype(jnp.int8)
     acc_ref[:] += jax.lax.dot_general(
         x_q8, wq_ref[:], (((1,), (0,)), ((), ())),

@@ -77,6 +77,16 @@ def dequant_int4(iw: Int4Weight, dtype=jnp.float32) -> jax.Array:
     return w[:, :iw.n].astype(dtype)
 
 
+def cast_fp_params(params, dtype=jnp.bfloat16):
+    """Fast-deploy carrier cast: float32 leaves (FP-fallback layers,
+    biases, norm params) move to ``dtype``; integer/quantized state is
+    untouched. The single definition of the carrier convention — used by
+    the CLI --deploy_dtype path and every bench/ablation script."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+        params)
+
+
 def deploy_weights(policy: QuantPolicy, params, wstate: Dict, *,
                    pack_int4_linears: bool = True) -> Dict[str, object]:
     """Offline: quantize every wq-enabled layer's weights to centered
