@@ -133,3 +133,30 @@ def test_specialize_maps_exact(setup):
     a = jax.jit(run)(dep, x, t)
     b = jax.jit(run)(dep_m, x, t)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_deployed_matches_fake_quant_wide_bits_w16a16():
+    """>8-bit grids can't ride the int8 paths (codes wrap in the int8
+    cast); deployment must fall back to offline fake-quant weights +
+    elementwise act fake-quant and stay bit-consistent with the sim."""
+    params = ddim_unet.init_params(jax.random.PRNGKey(20), CFG)
+    adapter = ddim_units.build_adapter(CFG, w_bits=16, a_bits=16)
+    wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
+    fp_fn = lambda x, t, s: ddim_unet.apply(params, CFG, x, t)
+    xs, ts = harvest_trajectory(fp_fn, BETAS, SEQ,
+                                jax.random.normal(jax.random.PRNGKey(21),
+                                                  (4, 16, 16, 3)),
+                                jax.random.PRNGKey(22))
+    astate = fsc_calibrate(adapter, params, wstate, (xs, ts),
+                           jax.random.PRNGKey(23), running_stat=False,
+                           init_samples=4)
+    x = jax.random.normal(jax.random.PRNGKey(24), (2, 16, 16, 3))
+    t = jnp.array([50, 7], jnp.int32)
+    sim = make_model_fn(adapter, params, wstate, astate, use_wq=True,
+                        use_aq=True)(x, t, 0)
+    deployed = deploy_weights(adapter.policy, params, wstate)
+    got = make_deployed_model_fn(adapter, params, deployed, astate,
+                                 use_aq=True)(x, t, 0)
+    got, sim = np.asarray(got), np.asarray(sim)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, sim, atol=2e-4, rtol=1e-4)

@@ -273,3 +273,80 @@ def test_fqk_kernel_matches_xla_fake_quant(with_w):
     np.testing.assert_allclose(np.asarray(got).astype(np.float32),
                                np.asarray(ref).astype(np.float32),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_fqk_multi_qblock_scratch_persistence():
+    """The fqk kernel fake-quants k/v into persistent VMEM scratch only
+    on the FIRST q-block of each (b, h) row (@pl.when(program_id(1)==0));
+    production SD shapes run many q-blocks per row. tq=300 with
+    block_q=128 forces 3 q-blocks so the cross-cell scratch reuse is
+    exercised in interpret mode."""
+    from tfmq_dm_tpu.quant.quantizer import fake_quant
+
+    acfg = QCfg(bits=8, symmetric=False)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = _rand(k1, 1, 2, 300, 48).astype(jnp.bfloat16)
+    k = _rand(k2, 1, 2, 300, 48).astype(jnp.bfloat16)
+    v = _rand(k3, 1, 2, 300, 48).astype(jnp.bfloat16)
+    dq = jnp.float32(0.021); zq = jnp.float32(121.0)
+    dk = jnp.float32(0.017); zk = jnp.float32(133.0)
+    dv = jnp.float32(0.024); zv = jnp.float32(125.0)
+    got = flash_attention(q, k, v, sm_scale=48 ** -0.5,
+                          qkv_quant=((dq, zq), (dk, zk), (dv, zv)),
+                          qkv_ranges=(acfg.qrange,) * 3,
+                          p_quant=(jnp.float32(1 / 251.),
+                                   jnp.float32(0.0)),
+                          int8_matmul=False, block_q=128, block_k=128,
+                          interpret=True)
+    qf = fake_quant(q, dq, zq, acfg)
+    kf = fake_quant(k, dk, zk, acfg)
+    vf = fake_quant(v, dv, zv, acfg)
+    ref = flash_attention(qf, kf, vf, sm_scale=48 ** -0.5,
+                          p_quant=(jnp.float32(1 / 251.),
+                                   jnp.float32(0.0)), interpret=True)
+    np.testing.assert_allclose(np.asarray(got).astype(np.float32),
+                               np.asarray(ref).astype(np.float32),
+                               atol=5e-3, rtol=5e-3)
+
+
+@pytest.mark.parametrize("tq", [256, 1100])
+def test_wide_softmax_bits_avoid_int8_paths(tq):
+    """--softmax_a_bit 16 codes don't fit int8 after 128-centering; the
+    dispatch must route around _int8_materialized / _int8_kernel and
+    still produce the exact fake-quant semantics (the round-1 advisor
+    reproduced ~100% rel. error here)."""
+    from tfmq_dm_tpu.quant.context import QuantCtx
+    from tfmq_dm_tpu.quant.policy import LayerPolicy, QuantPolicy
+
+    acfg = QCfg(bits=8, symmetric=False)
+    wcfg = QCfg(bits=16, symmetric=False, always_zero=True)
+    pol = QuantPolicy(
+        {s: LayerPolicy(w_cfg=None, a_cfg=acfg, wq=False, aq=True)
+         for s in ("q", "k", "v")} |
+        {"w": LayerPolicy(w_cfg=None, a_cfg=wcfg, wq=False, aq=True)},
+        order=[])
+    ast = {s: {"delta": jnp.float32(0.03), "zp": jnp.float32(128.0)}
+           for s in ("q", "k", "v")}
+    ast["w"] = {"delta": jnp.float32(1.0 / 65535.0),
+                "zp": jnp.float32(0.0)}
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(13), 3)
+    q = _rand(k1, 1, tq, 2, 48)
+    k = _rand(k2, 1, tq, 2, 48)
+    v = _rand(k3, 1, tq, 2, 48)
+    sites = {"q": "q", "k": "k", "v": "v", "w": "w"}
+    ctx = QuantCtx(pol, astate=ast, use_aq=True, deploy={"dummy": None},
+                   flash=True)
+    got = attn_ops.qsm_attention(q, k, v, 48 ** -0.5, ctx, sites)
+    # reference: explicit fake-quant at every site, materialized softmax
+    wide = QCfg(bits=16, symmetric=False, always_zero=True)
+    qf = fake_quant(q, ast["q"]["delta"], ast["q"]["zp"], acfg)
+    kf = fake_quant(k, ast["k"]["delta"], ast["k"]["zp"], acfg)
+    vf = fake_quant(v, ast["v"]["delta"], ast["v"]["zp"], acfg)
+    sim = jnp.einsum("bihd,bjhd->bhij", qf, kf,
+                     preferred_element_type=jnp.float32) * 48 ** -0.5
+    p = fake_quant(jax.nn.softmax(sim, axis=-1),
+                   ast["w"]["delta"], ast["w"]["zp"], wide)
+    ref = jnp.einsum("bhij,bjhd->bihd", p, vf,
+                     preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)

@@ -144,6 +144,15 @@ def main(argv=None) -> int:
     logger = logging.getLogger("tfmq")
     args = build_argparser().parse_args(argv)
 
+    # surface configuration dead-ends instead of silently ignoring flags
+    if args.deploy_dtype == "bfloat16" and not (args.ptq
+                                                and args.int_kernels):
+        logger.warning("--deploy_dtype bfloat16 has no effect without "
+                       "--ptq --int-kernels; running the default path")
+    if args.interpolation and (args.dp > 1 or args.tp > 1):
+        logger.warning("--dp/--tp are ignored in --interpolation mode "
+                       "(single-device slerp trajectory)")
+
     # honor JAX_PLATFORMS even when a platform plugin (e.g. the axon TPU
     # sitecustomize) force-updated jax_platforms at interpreter start
     plat = os.environ.get("JAX_PLATFORMS")

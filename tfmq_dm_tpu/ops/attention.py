@@ -78,12 +78,25 @@ def _site_params(qctx, site):
 
 
 def _scalar_asym(p) -> bool:
-    """Fusable in-kernel: per-tensor scalar grid with uint codes."""
+    """Fusable into the int8 kernels: per-tensor scalar grid with uint
+    codes that fit int8 after 128-centering — wider grids (e.g.
+    --softmax_a_bit 16) would wrap in the .astype(int8) and must take
+    the fake-quant paths instead."""
     if p is None:
         return False
     cfg, st = p
-    return (cfg.qrange[0] == 0 and jnp.ndim(st["delta"]) == 0
-            and jnp.ndim(st["zp"]) == 0)
+    return (cfg.qrange[0] == 0 and cfg.bits <= 8
+            and jnp.ndim(st["delta"]) == 0 and jnp.ndim(st["zp"]) == 0)
+
+
+def _scalar_w(p) -> bool:
+    """Fusable as a flash-kernel softmax-output quantizer: per-tensor
+    scalar grid (rides SMEM scalars). Width-agnostic — the fqk/pquant
+    kernels fake-quant p in f32; only _int8_kernel needs bits<=8."""
+    if p is None:
+        return True
+    cfg, st = p
+    return jnp.ndim(st["delta"]) == 0 and jnp.ndim(st["zp"]) == 0
 
 
 def _int8_materialized(q, k, v, sm_scale, pq, pk, pv, pw, out_dtype):
@@ -156,7 +169,7 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     pv = _site_params(qctx, sites.get("v"))
     pw = _site_params(qctx, sites.get("w"))
 
-    if _flash_ok(qctx, k.shape[1]):
+    if _flash_ok(qctx, k.shape[1]) and _scalar_w(pw):
         interp = jax.default_backend() == "cpu"
         qt = q.transpose(0, 2, 1, 3)
         kt = k.transpose(0, 2, 1, 3)
@@ -172,10 +185,14 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # matmul rounding.
         fast = (qctx is not None and qctx.deploy is not None
                 and qctx.act_out_dtype == jnp.bfloat16)
-        if _INT8 and all(_scalar_asym(p) for p in (pq, pk, pv)):
+        if _INT8 and all(_scalar_asym(p) for p in (pq, pk, pv)) and (
+                fast or pw is None or _scalar_asym(pw)):
             # fast mode: in-kernel fake-quant + bf16 matmuls (fqk) —
             # no XLA pre-sweeps, no zero-point corrections; exact mode:
-            # full int8 matmuls with exact corrections
+            # full int8 matmuls with exact corrections. Exact mode also
+            # requires the softmax quantizer (if any) to fit int8 levels
+            # (_int8_kernel centers p codes at 128); a wide pw falls to
+            # the fake-quant + pquant-kernel path below.
             out = flash_attention(
                 qt, kt, vt, sm_scale=sm_scale,
                 qkv_quant=tuple((p[1]["delta"], p[1]["zp"])

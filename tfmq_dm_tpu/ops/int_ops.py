@@ -64,6 +64,28 @@ jax.tree_util.register_dataclass(
     meta_fields=("k", "bits", "sym"))
 
 
+def fits_int8(cfg: QCfg) -> bool:
+    """Whether this grid's centered codes (q - 2^{b-1}) fit int8. The
+    integer deployment paths store codes as int8 and center at 2^{b-1};
+    wider grids (e.g. --softmax_a_bit 16) would silently wrap, so every
+    int8 dispatch gates on this and falls back to fake-quant."""
+    return cfg.bits <= 8
+
+
+@dataclasses.dataclass
+class FPWeight:
+    """Deployment carrier for >8-bit weight grids: the fake-quantized
+    weights are materialized offline (bit-identical to the sim path) and
+    the layer executes a plain fp conv/matmul — int8 storage cannot hold
+    the centered codes (see fits_int8)."""
+
+    w: jax.Array
+
+
+jax.tree_util.register_dataclass(FPWeight, data_fields=("w",),
+                                 meta_fields=())
+
+
 def quantize_weight_int(w: jax.Array, delta: jax.Array, zp: jax.Array,
                         cfg: QCfg, alpha: Optional[jax.Array] = None
                         ) -> IntWeight:

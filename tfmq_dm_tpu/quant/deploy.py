@@ -99,6 +99,22 @@ def deploy_weights(policy: QuantPolicy, params, wstate: Dict, *,
         st = wstate.get(name)
         if not pol.wq or st is None:
             continue
+        if not int_ops.fits_int8(pol.w_cfg):
+            # >8-bit grid: centered codes don't fit int8 storage —
+            # materialize the fake-quantized weights offline instead
+            # (same hard-rounding semantics as quantize_weight_int)
+            from .quantizer import broadcast_channel
+            w = params[name]["w"]
+            d = broadcast_channel(st["delta"], w.shape)
+            zp = broadcast_channel(st["zp"], w.shape)
+            if "alpha" in st:
+                w_int = jnp.floor(w * (1.0 / d)) + (st["alpha"] >= 0)
+            else:
+                w_int = jnp.round(w * (1.0 / d))
+            nb, pb = pol.w_cfg.qrange
+            w_q = jnp.clip(w_int + zp, nb, pb)
+            deployed[name] = int_ops.FPWeight(w=d * (w_q - zp))
+            continue
         iw = int_ops.quantize_weight_int(
             params[name]["w"], st["delta"], st["zp"], pol.w_cfg,
             alpha=st.get("alpha"))

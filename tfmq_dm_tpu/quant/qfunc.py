@@ -32,20 +32,32 @@ def qconv2d(qctx: Optional[QuantCtx], name: str, x: jax.Array,
     if qctx is not None and qctx.deploy is not None and \
             name in qctx.deploy:
         iw = qctx.deploy[name]
+        pol = qctx.policy.get(name)
+        ast = qctx.astate.get(name) if qctx.use_aq and pol.aq else None
+        out_dtype = qctx.act_out_dtype or x.dtype
+        if isinstance(iw, int_ops.FPWeight):
+            # >8-bit weight grid: offline-fake-quantized weights, fp conv
+            if ast is not None:
+                from .quantizer import fake_quant
+                x = fake_quant(x, ast["delta"], ast["zp"], pol.a_cfg)
+            return fnn.conv2d(x, iw.w.astype(out_dtype), b,
+                              stride=stride, padding=padding)
         kh, kw_ = iw.w_q.shape[:2]
         pads = _same_pads(kh, kw_) if padding == "SAME" else \
             ((0, 0), (0, 0)) if padding == "VALID" else tuple(padding)
         if qctx.shape_tape is not None:
             qctx.shape_tape[name] = (tuple(x.shape[1:3]), stride, pads)
-        pol = qctx.policy.get(name)
-        ast = qctx.astate.get(name) if qctx.use_aq and pol.aq else None
-        out_dtype = qctx.act_out_dtype or x.dtype
-        if ast is not None:
+        if ast is not None and int_ops.fits_int8(pol.a_cfg):
             x_q, zp_xc = int_ops.quantize_act_int8(x, ast["delta"],
                                                    ast["zp"], pol.a_cfg)
             return int_ops.int8_conv2d(x_q, zp_xc, ast["delta"], iw, b,
                                        stride=stride, pads=pads,
                                        out_dtype=out_dtype)
+        if ast is not None:
+            # wide act grid (e.g. a16): codes don't fit int8 — fake-quant
+            # the activations and run the conv on dequantized weights
+            from .quantizer import fake_quant
+            x = fake_quant(x, ast["delta"], ast["zp"], pol.a_cfg)
         # weight-only: dequantized weights (loop-invariant, XLA hoists)
         return fnn.conv2d(x, int_ops.dequant_weight(iw, out_dtype), b,
                           stride=stride, padding=padding)
@@ -64,6 +76,11 @@ def qlinear(qctx: Optional[QuantCtx], name: str, x: jax.Array,
         pol = qctx.policy.get(name)
         ast = qctx.astate.get(name) if qctx.use_aq and pol.aq else None
         out_dtype = qctx.act_out_dtype or x.dtype
+        if isinstance(iw, int_ops.FPWeight):
+            if ast is not None:
+                from .quantizer import fake_quant
+                x = fake_quant(x, ast["delta"], ast["zp"], pol.a_cfg)
+            return fnn.linear(x, iw.w.astype(out_dtype), b)
         from .deploy import Int4Weight, dequant_int4
         if isinstance(iw, Int4Weight):
             # packed 4-bit weights: act fake-quant (if any) stays
@@ -85,6 +102,11 @@ def qlinear(qctx: Optional[QuantCtx], name: str, x: jax.Array,
                     bias=bias, block_n=iw.block_n, out_dtype=out_dtype)
                 return out[:, :iw.n].reshape(lead + (iw.n,))
             return fnn.linear(x, dequant_int4(iw, out_dtype), b)
+        if ast is not None and not int_ops.fits_int8(pol.a_cfg):
+            # wide act grid: fake-quant acts, matmul dequantized weights
+            from .quantizer import fake_quant
+            x = fake_quant(x, ast["delta"], ast["zp"], pol.a_cfg)
+            return fnn.linear(x, int_ops.dequant_weight(iw, out_dtype), b)
         if ast is not None:
             # NOTE: two hand-written Pallas GEMMs were benchmarked here
             # and both LOST to XLA's native int8 dot_general (~88% of

@@ -125,7 +125,7 @@ def scaler_mse(x: jax.Array, cfg: QCfg, num_steps: int = 80, p: float = 2.4):
         new_min = x_min * shrink
         new_max = x_max * shrink
         delta, zp = _delta_zp_from_range(new_min, new_max, cfg)
-        x_q = jnp.clip(jnp.round(x / delta) + zp, nb, pb)
+        x_q = jnp.clip(jnp.round(x * (1.0 / delta)) + zp, nb, pb)
         x_dq = delta * (x_q - zp)
         score = jnp.mean(jnp.abs(x_dq - x) ** p)
         return score, delta, zp
