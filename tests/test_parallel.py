@@ -140,3 +140,48 @@ def test_sample_fid_dp_mesh(setup, tmp_path):
                               batch_size=8, key=key,
                               bundle=replicate(mesh, bundle), mesh=mesh)
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_dp_fisher_matches_single_device(setup):
+    """Fisher-loss reconstruction under the dp mesh uses the same cached
+    |grad|+1 weights as the single-device driver (round-1 dp forked to
+    MSE-only; the unified driver keeps hp.rloss)."""
+    params, adapter, cali = setup
+    wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
+    unit = adapter.unit_by_name("mid.block_1")
+    inputs, outputs = recon.capture_unit_io(adapter, unit, params, cali,
+                                            wstate, asym=True)
+    fgrads = recon.capture_unit_grads(adapter, unit, params, cali,
+                                      wstate, batch_size=8)
+    n = inputs[0].shape[0]
+    hp = ReconHP(iters=1, batch_size=n, rloss="fisher_diag")
+    w_single, _ = recon.reconstruct_unit(adapter, unit, params, wstate,
+                                         inputs, outputs, hp,
+                                         jax.random.PRNGKey(9), fgrads)
+    mesh = make_mesh(dp=8, tp=1)
+    w_dp, _ = recon.reconstruct_unit(adapter, unit, params, wstate,
+                                     inputs, outputs, hp,
+                                     jax.random.PRNGKey(9), fgrads,
+                                     mesh=mesh)
+    a1 = np.asarray(w_single["mid.block_1.conv1"]["alpha"])
+    a2 = np.asarray(w_dp["mid.block_1.conv1"]["alpha"])
+    np.testing.assert_allclose(a1, a2, atol=2e-5)
+
+
+def test_dp_recon_resume(setup, tmp_path):
+    """resume_dir works under the mesh: a second run skips completed
+    units and reproduces the same alphas."""
+    params, adapter, cali = setup
+    mesh = make_mesh(dp=8, tp=1)
+    hp = ReconHP(iters=4, batch_size=16)
+    w0 = init_weight_qparams(adapter.policy, params, scaler="minmax")
+    w1 = recon.reconstruct(adapter, params, cali, dict(w0), hp,
+                           jax.random.PRNGKey(3), mesh=mesh,
+                           resume_dir=str(tmp_path))
+    w2 = recon.reconstruct(adapter, params, cali, dict(w0), hp,
+                           jax.random.PRNGKey(3), mesh=mesh,
+                           resume_dir=str(tmp_path))
+    for name, st in w1.items():
+        if "alpha" in st:
+            np.testing.assert_allclose(np.asarray(st["alpha"]),
+                                       np.asarray(w2[name]["alpha"]))

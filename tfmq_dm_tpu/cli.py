@@ -57,6 +57,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--cali_iters", type=int, default=20000)
     p.add_argument("--interval_length", type=int, default=None)
     p.add_argument("--no_running_stat", action="store_true")
+    p.add_argument("--resume_dir", default=None,
+                   help="per-unit reconstruction checkpoints: completed "
+                        "units are skipped on a re-run (beyond the "
+                        "reference's all-or-nothing save)")
     p.add_argument("--w_sym", action="store_true",
                    help="symmetric weight quantization grids (faster "
                         "int8 deployment: no activation-sum correction)")
@@ -220,10 +224,23 @@ def main(argv=None) -> int:
             task, lambda x, t, c: fp_apply(x, t, c), k,
             n_per_t=n_per_t, context=ctx, uncond=uc, cfg_scale=scale,
             steps=args.timesteps)
+        mesh = None
+        if args.dp > 1:
+            # the reference's --multi_gpu calibration
+            # (sample_diffusion_ldm.py:512-524, txt2img.py:449-461):
+            # recon loops shard samples over the mesh with pmean'd grads
+            from .parallel.mesh import make_mesh
+            mesh = make_mesh(dp=args.dp, tp=1)
+            logger.info("calibration mesh: %s", dict(mesh.shape))
+        if args.tp > 1:
+            logger.warning("--tp is ignored during calibration "
+                           "(reconstruction parallelism is dp-only, as "
+                           "in the reference)")
         logger.info("calibrating -> %s", args.cali_save_path)
         key, k = jax.random.split(key)
         ptq.quantize_task(task, adapter, params, qargs, w_cali, a_cali,
-                          cali_t=cali_t, key=k)
+                          cali_t=cali_t, key=k, mesh=mesh,
+                          resume_dir=args.resume_dir)
         logger.info("calibration done")
         return 0
 

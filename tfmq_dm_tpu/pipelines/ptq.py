@@ -168,11 +168,14 @@ def generate_cali_data(task: TaskConfig, fp_apply: Callable,
 
 def quantize_task(task: TaskConfig, adapter, params, qargs: QuantArgs,
                   w_cali, a_cali, *, cali_t=None, key=None,
-                  capture_batch_size: int = 64):
+                  capture_batch_size: int = 64, mesh=None,
+                  resume_dir=None):
     """Run the full TFMQ calibration with the task's recon
     hyperparameters; saves + returns (wstate, astate). ``cali_t`` (the
     per-group timesteps) is stored in the artifact meta so inference can
-    map sampler steps to FSC groups at any step count."""
+    map sampler steps to FSC groups at any step count. ``mesh``:
+    data-parallel reconstruction over the mesh (the reference's
+    --multi_gpu calibration, sample_diffusion_ldm.py:512-524)."""
     hp = ReconHP(iters=qargs.iters, batch_size=task.recon_batch,
                  w=0.01, warmup=0.2, asym=True)
     meta = {"task": task.name, "wq": qargs.wq, "aq": qargs.aq,
@@ -187,4 +190,5 @@ def quantize_task(task: TaskConfig, adapter, params, qargs: QuantArgs,
                       path=qargs.cali_save_path,
                       key=key if key is not None
                       else jax.random.PRNGKey(qargs.seed), meta=meta,
-                      capture_batch_size=capture_batch_size)
+                      capture_batch_size=capture_batch_size,
+                      mesh=mesh, resume_dir=resume_dir)

@@ -218,11 +218,12 @@ def _rec_loss(pred, tgt, p, rloss="mse", grads=None):
 @functools.partial(
     jax.jit,
     static_argnames=("unit_fwd", "kind", "role_cfgs", "extra", "hp",
-                     "n_iters"))
+                     "n_iters", "mesh"))
 def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
                hp: ReconHP, uparams, wstate_fixed, alphas, inputs,
                outputs, key, fgrads=None, opt_state=None,
-               iter0: int = 0, n_iters: Optional[int] = None):
+               iter0: int = 0, n_iters: Optional[int] = None,
+               mesh=None):
     """The full weight-phase optimization for one unit: scan of
     {minibatch -> forward(soft) -> loss -> Adam} (reconstruction.py:63-78,
     182-198, 290-303). ``fgrads``: cached Fisher grads (|g|+1) when
@@ -231,18 +232,25 @@ def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
     ``opt_state``/``iter0``/``n_iters`` allow CONTINUATION: run a
     segment of the schedule (temp decay and warmup stay relative to the
     full ``hp.iters``) — used by the host-offloaded chunked driver.
+
+    ``mesh``: the SAME program runs data-parallel over the mesh's "dp"
+    axis (the reference's cali_model_multi, calibration.py:228-389):
+    inputs/outputs/fgrads arrive sharded on the sample axis, each device
+    draws a local minibatch, and the per-iteration
+    ``link.allreduce(param.grad)`` (reconstruction.py:72-75) becomes a
+    `lax.pmean` inside the scan, riding ICI.
+
     Returns (trained alphas, opt_state, per-iter losses)."""
     opt = optax.adam(hp.lr_alpha)
     if opt_state is None:
         opt_state = opt.init(alphas)
     if n_iters is None:
         n_iters = hp.iters
-    n = jax.tree.leaves(inputs)[0].shape[0]
-    bs = min(hp.batch_size, n)
     loss_start = hp.warmup * hp.iters
+    ndev = 1 if mesh is None else mesh.shape["dp"]
 
-    def loss_fn(a, binp, bout, bg, count):
-        wstate = _merge_alpha(wstate_fixed, a)
+    def loss_fn(a, wfixed, binp, bout, bg, count):
+        wstate = _merge_alpha(wfixed, a)
         pred = unit_fwd(kind, role_cfgs, extra, uparams, wstate, {},
                         binp, True, hp.use_aq)
         rec = _rec_loss(pred, bout, hp.p, hp.rloss, bg)
@@ -253,24 +261,52 @@ def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
         reg = jnp.where(count < loss_start, 0.0, hp.w * reg)
         return rec + reg, rec
 
-    def step(carry, i):
-        a, ost, k = carry
-        k, k1 = jax.random.split(k)
-        idx = jax.random.permutation(k1, n)[:bs]
-        binp = jax.tree.map(lambda x: x[idx], inputs)
-        bout = jax.tree.map(lambda x: x[idx], outputs)
-        bg = None if fgrads is None else fgrads[idx]
-        (loss, rec), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            a, binp, bout, bg, i + 1.0)
-        updates, ost = opt.update(grads, ost)
-        a = optax.apply_updates(a, updates)
-        return (a, ost, k), rec
+    def body(alphas, opt_state, wfixed, inputs, outputs, fgrads, key,
+             iter0):
+        # under shard_map these are LOCAL shapes; hp.batch_size is the
+        # global minibatch, split evenly across devices
+        n = jax.tree.leaves(inputs)[0].shape[0]
+        bs = max(1, min(hp.batch_size, n * ndev) // ndev)
+        if mesh is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
 
-    # iter0 is traced: equal-length segments share one compiled program
-    (alphas, opt_state, _), losses = jax.lax.scan(
-        step, (alphas, opt_state, key),
-        jnp.arange(n_iters, dtype=jnp.float32) + jnp.float32(iter0))
-    return alphas, opt_state, losses
+        def step(carry, i):
+            a, ost, k = carry
+            k, k1 = jax.random.split(k)
+            idx = jax.random.permutation(k1, n)[:bs]
+            binp = jax.tree.map(lambda x: x[idx], inputs)
+            bout = jax.tree.map(lambda x: x[idx], outputs)
+            bg = None if fgrads is None else fgrads[idx]
+            (loss, rec), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(a, wfixed, binp, bout, bg, i + 1.0)
+            if mesh is not None:
+                grads = jax.lax.pmean(grads, "dp")
+                rec = jax.lax.pmean(rec, "dp")
+            updates, ost = opt.update(grads, ost)
+            a = optax.apply_updates(a, updates)
+            return (a, ost, k), rec
+
+        # iter0 is traced: equal-length segments share a compiled program
+        (alphas, opt_state, _), losses = jax.lax.scan(
+            step, (alphas, opt_state, key),
+            jnp.arange(n_iters, dtype=jnp.float32) + iter0)
+        return alphas, opt_state, losses
+
+    iter0 = jnp.float32(iter0)
+    if mesh is None:
+        return body(alphas, opt_state, wstate_fixed, inputs, outputs,
+                    fgrads, key, iter0)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    data = P("dp")
+    run = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), data, data,
+                  P() if fgrads is None else data, P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return run(alphas, opt_state, wstate_fixed, inputs, outputs, fgrads,
+               key, iter0)
 
 
 # device-memory budget for one unit's cached recon I/O; above this the
@@ -286,15 +322,13 @@ def _bytes_per_row(inputs, outputs) -> int:
                for x in leaves)
 
 
-def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
-                     wstate, inputs, outputs, hp: ReconHP, key,
-                     fgrads=None):
-    """Run weight-phase reconstruction for one unit; returns updated
-    wstate (alphas written back under full layer names) and the loss
-    trace."""
+def _prep_unit_states(adapter, unit, params, wstate):
+    """Split one unit's wstate into (role_cfgs, uparams, fixed role
+    states, trainable alphas) — alphas initialized from the weight's
+    fractional part on first touch (uaq2adar, calibration.py:19-42)."""
     train_roles = adapter.default_train_roles(unit)
     if not train_roles:
-        return wstate, None
+        return None
     role_cfgs = adapter.role_cfgs(unit, train_roles)
     uparams = adapter.extract_uparams(params, unit)
     wstate_roles = {}
@@ -311,6 +345,46 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
     fixed = {r: {k: v for k, v in st.items() if not (r in alphas and
                                                      k == "alpha")}
              for r, st in wstate_roles.items()}
+    return role_cfgs, uparams, fixed, alphas
+
+
+def _shard_samples(mesh, inputs, outputs, fgrads):
+    """Shard cached I/O over the mesh's "dp" sample axis, truncating to a
+    device multiple (cali samples are i.i.d. generated latents, so
+    dropping <ndev tail rows is neutral — unlike padding-by-duplication,
+    which double-weights the wrapped rows)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ndev = mesh.shape["dp"]
+    n = jax.tree.leaves(inputs)[0].shape[0]
+    n_keep = max(ndev, (n // ndev) * ndev)
+    if n_keep > n:
+        raise ValueError(
+            f"need at least {ndev} cali samples for a {ndev}-device dp "
+            f"mesh; got {n}")
+    if n_keep < n:
+        logger.info("dp recon: truncating %d -> %d samples (multiple of "
+                    "%d devices)", n, n_keep, ndev)
+    spec = NamedSharding(mesh, P("dp"))
+    put = lambda a: jax.device_put(jnp.asarray(a[:n_keep]), spec)
+    inputs = jax.tree.map(put, inputs)
+    outputs = jax.tree.map(put, outputs)
+    if fgrads is not None:
+        fgrads = put(fgrads)
+    return inputs, outputs, fgrads
+
+
+def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
+                     wstate, inputs, outputs, hp: ReconHP, key,
+                     fgrads=None, mesh=None):
+    """Run weight-phase reconstruction for one unit; returns updated
+    wstate (alphas written back under full layer names) and the loss
+    trace. ``mesh``: run the Adam loop data-parallel over the mesh's
+    "dp" axis (one driver for single-device and sharded reconstruction —
+    the reference forks cali_model vs cali_model_multi)."""
+    prep = _prep_unit_states(adapter, unit, params, wstate)
+    if prep is None:
+        return wstate, None
+    role_cfgs, uparams, fixed, alphas = prep
 
     if isinstance(jax.tree.leaves(inputs)[0], np.ndarray):
         # host-offloaded cache: stream sample chunks to the device and
@@ -318,10 +392,13 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
         # reference's keep_gpu=False path moves every minibatch
         # host->GPU per iter — per-iter transfers through a TPU host
         # round-trip would dominate, so we chunk instead)
+        ndev = 1 if mesh is None else mesh.shape["dp"]
         n = jax.tree.leaves(inputs)[0].shape[0]
-        chunk_n = max(hp.batch_size,
+        chunk_n = max(hp.batch_size, ndev,
                       min(n, _HOST_CHUNK_BYTES // max(1, _bytes_per_row(
                           inputs, outputs))))
+        chunk_n = max(ndev, (chunk_n // ndev) * ndev)
+        chunk_n = min(chunk_n, max(ndev, (n // ndev) * ndev))
         n_chunks = -(-n // chunk_n)
         iters_per = [hp.iters // n_chunks] * n_chunks
         iters_per[-1] += hp.iters - sum(iters_per)
@@ -330,23 +407,32 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
         loss_parts = []
         perm = np.random.RandomState(0).permutation(n)
         for c in range(n_chunks):
-            sel = perm[c * chunk_n:(c + 1) * chunk_n]
+            # equal-size chunks (one compiled segment program); the last
+            # chunk wraps to the front rather than shrinking
+            sel = perm[(c * chunk_n + np.arange(chunk_n)) % n]
             cin = jax.tree.map(lambda x: jnp.asarray(x[sel]), inputs)
             cout = jax.tree.map(lambda x: jnp.asarray(x[sel]), outputs)
             cg = None if fgrads is None else jnp.asarray(
                 np.asarray(fgrads)[sel])
+            if mesh is not None:
+                cin, cout, cg = _shard_samples(mesh, cin, cout, cg)
             key, k = jax.random.split(key)
             alphas, opt_state, ls = _recon_run(
                 adapter.unit_fwd, unit.kind, role_cfgs, unit.extra, hp,
                 uparams, fixed, alphas, cin, cout, k, cg,
-                opt_state=opt_state, iter0=it0, n_iters=iters_per[c])
+                opt_state=opt_state, iter0=it0, n_iters=iters_per[c],
+                mesh=mesh)
             it0 += iters_per[c]
             loss_parts.append(ls)
         losses = jnp.concatenate(loss_parts)
     else:
+        if mesh is not None:
+            inputs, outputs, fgrads = _shard_samples(mesh, inputs,
+                                                     outputs, fgrads)
         alphas, _, losses = _recon_run(
             adapter.unit_fwd, unit.kind, role_cfgs, unit.extra, hp,
-            uparams, fixed, alphas, inputs, outputs, key, fgrads)
+            uparams, fixed, alphas, inputs, outputs, key, fgrads,
+            mesh=mesh)
     new_wstate = dict(wstate)
     for role, full in unit.layers:
         if role in alphas:
@@ -416,15 +502,9 @@ def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
                                         wstate, use_aq=hp.use_aq,
                                         batch_size=capture_batch_size)
         key, k = jax.random.split(key)
-        if mesh is not None:
-            from ..parallel.dp import reconstruct_unit_dp
-            wstate, losses = reconstruct_unit_dp(mesh, adapter, unit,
-                                                 params, wstate, inputs,
-                                                 outputs, hp, k)
-        else:
-            wstate, losses = reconstruct_unit(adapter, unit, params,
-                                              wstate, inputs, outputs,
-                                              hp, k, fgrads)
+        wstate, losses = reconstruct_unit(adapter, unit, params,
+                                          wstate, inputs, outputs,
+                                          hp, k, fgrads, mesh=mesh)
         if resume_dir and jax.process_index() == 0:
             np.savez(_unit_path(unit.name),
                      **{f"{full}::alpha": np.asarray(
