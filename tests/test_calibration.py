@@ -256,3 +256,55 @@ def test_host_offload_chunked_reconstruction(setup, monkeypatch):
     assert ls.shape[0] == 40          # full schedule across chunks
     assert np.isfinite(ls).all()
     assert ls[-5:].mean() < ls[:5].mean()
+
+
+def test_act_phase_reconstruction(setup):
+    """The act phase (reconstruction.py:43-48): Adam on act deltas with
+    cosine-annealed lr_delta, round-loss NONE. Deltas move, zps and
+    weight state stay fixed, and the unit's reconstruction error does
+    not get worse."""
+    params, adapter, w_cali, _ = setup
+    wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
+    unit = adapter.unit_by_name("mid.block_1")
+
+    # seed act params from one batch (the lazy init forward)
+    ctx = QuantCtx(adapter.policy, wstate=wstate, use_wq=True,
+                   use_aq=True, act_mode="init")
+    adapter.forward(params, ctx, *(x[:8] for x in w_cali))
+    astate = dict(ctx.out_astate)
+
+    inputs, outputs = recon.capture_unit_io(
+        adapter, unit, params, w_cali, wstate, astate,
+        asym=True, use_aq=True)
+    hp = ReconHP(iters=40, batch_size=8)
+    new_astate, losses = recon.reconstruct_unit_act(
+        adapter, unit, params, wstate, astate, inputs, outputs, hp,
+        jax.random.PRNGKey(5))
+    assert losses is not None and np.all(np.isfinite(np.asarray(losses)))
+    moved = False
+    for site, st in new_astate.items():
+        np.testing.assert_array_equal(np.asarray(st["zp"]),
+                                      np.asarray(astate[site]["zp"]))
+        if not np.array_equal(np.asarray(st["delta"]),
+                              np.asarray(astate[site]["delta"])):
+            moved = True
+    assert moved, "no act delta was updated"
+    # loss trend: end of schedule no worse than the start
+    ls = np.asarray(losses)
+    assert ls[-5:].mean() <= ls[:5].mean() * 1.05
+
+
+def test_reconstruct_act_driver(setup):
+    """Sequential act-phase pass over all units runs and returns a flat
+    astate with every original site present."""
+    params, adapter, w_cali, _ = setup
+    wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
+    ctx = QuantCtx(adapter.policy, wstate=wstate, use_wq=True,
+                   use_aq=True, act_mode="init")
+    adapter.forward(params, ctx, *(x[:8] for x in w_cali))
+    astate = dict(ctx.out_astate)
+    hp = ReconHP(iters=4, batch_size=8)
+    out = recon.reconstruct_act(adapter, params,
+                                tuple(x[:8] for x in w_cali),
+                                wstate, astate, hp, jax.random.PRNGKey(6))
+    assert set(out) == set(astate)

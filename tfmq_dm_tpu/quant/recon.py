@@ -441,6 +441,137 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
     return new_wstate, losses
 
 
+# ---------------------------------------------------------------------------
+# Act-phase reconstruction (reconstruction.py:43-48)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unit_fwd", "kind", "role_cfgs", "extra", "hp",
+                     "mesh"))
+def _act_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
+             hp: ReconHP, uparams, wstate_roles, zps, deltas, inputs,
+             outputs, key, fgrads=None, mesh=None):
+    """Act-phase optimization for one unit: Adam on the activation
+    quantizer deltas, lr ``hp.lr_delta`` with cosine annealing to 0 over
+    ``hp.iters``, reconstruction loss only (round-loss NONE) — the
+    reference's ``use_aq`` branch of layer/block/tib_reconstruction
+    (reconstruction.py:43-48, CosineAnnealingLR T_max=iters eta_min=0).
+    Weight quantizers run in hard-rounding inference mode (soft_tgt was
+    reset after the weight phase)."""
+    opt = optax.adam(optax.cosine_decay_schedule(hp.lr_delta, hp.iters))
+    opt_state = opt.init(deltas)
+    ndev = 1 if mesh is None else mesh.shape["dp"]
+
+    def loss_fn(d, binp, bout, bg):
+        ast = {r: {"delta": d[r], "zp": zps[r]} for r in d}
+        pred = unit_fwd(kind, role_cfgs, extra, uparams, wstate_roles,
+                        ast, binp, False, True)
+        return _rec_loss(pred, bout, hp.p, hp.rloss, bg)
+
+    def body(deltas, opt_state, inputs, outputs, fgrads, key):
+        n = jax.tree.leaves(inputs)[0].shape[0]
+        bs = max(1, min(hp.batch_size, n * ndev) // ndev)
+        if mesh is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+
+        def step(carry, i):
+            d, ost, k = carry
+            k, k1 = jax.random.split(k)
+            idx = jax.random.permutation(k1, n)[:bs]
+            binp = jax.tree.map(lambda x: x[idx], inputs)
+            bout = jax.tree.map(lambda x: x[idx], outputs)
+            bg = None if fgrads is None else fgrads[idx]
+            rec, grads = jax.value_and_grad(loss_fn)(d, binp, bout, bg)
+            if mesh is not None:
+                grads = jax.lax.pmean(grads, "dp")
+                rec = jax.lax.pmean(rec, "dp")
+            updates, ost = opt.update(grads, ost)
+            d = optax.apply_updates(d, updates)
+            return (d, ost, k), rec
+
+        (deltas, _, _), losses = jax.lax.scan(
+            step, (deltas, opt_state, key), jnp.arange(hp.iters))
+        return deltas, losses
+
+    if mesh is None:
+        return body(deltas, opt_state, inputs, outputs, fgrads, key)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    data = P("dp")
+    run = shard_map(
+        lambda d, o, i, u, f, k: body(d, o, i, u, f, k), mesh=mesh,
+        in_specs=(P(), P(), data, data,
+                  P() if fgrads is None else data, P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return run(deltas, opt_state, inputs, outputs, fgrads, key)
+
+
+def reconstruct_unit_act(adapter: ModelAdapter, unit: UnitSpec, params,
+                         wstate, astate, inputs, outputs, hp: ReconHP,
+                         key, fgrads=None, mesh=None):
+    """Act-phase reconstruction for one unit: returns astate with the
+    unit's activation deltas re-optimized against the cached FP outputs
+    (inputs must have been captured with ``use_aq=True``)."""
+    role_cfgs = adapter.role_cfgs(unit, frozenset())
+    uparams = adapter.extract_uparams(params, unit)
+    wstate_roles = {role: wstate[full] for role, full in unit.layers
+                    if full in wstate}
+    deltas, zps, full_of = {}, {}, {}
+    for role, full in tuple(unit.layers) + tuple(unit.act_sites):
+        pol = adapter.policy.get(full)
+        st = astate.get(full)
+        if pol is None or not pol.aq or st is None:
+            continue
+        deltas[role] = st["delta"]
+        zps[role] = st["zp"]
+        full_of[role] = full
+    if not deltas:
+        return astate, None
+    if mesh is not None:
+        inputs, outputs, fgrads = _shard_samples(mesh, inputs, outputs,
+                                                 fgrads)
+    deltas, losses = _act_run(
+        adapter.unit_fwd, unit.kind, role_cfgs, unit.extra, hp, uparams,
+        wstate_roles, zps, deltas, inputs, outputs, key, fgrads,
+        mesh=mesh)
+    new_astate = dict(astate)
+    for role, d in deltas.items():
+        full = full_of[role]
+        new_astate[full] = dict(new_astate[full])
+        new_astate[full]["delta"] = d
+    return new_astate, losses
+
+
+def reconstruct_act(adapter: ModelAdapter, params, cali_data, wstate,
+                    astate, hp: ReconHP, key, *,
+                    capture_batch_size: int = 128, log=None, mesh=None):
+    """Sequential act-phase reconstruction over all units (the reference
+    runs this as the ``use_aq=True`` second pass of recon_model).
+    ``astate`` is a flat ``{site: {delta, zp}}`` dict — e.g. one FSC
+    group's slice — whose deltas get re-optimized in place."""
+    for unit in adapter.units:
+        if not unit.recon or not adapter.default_train_roles(unit):
+            continue
+        has_act = any(
+            (pol := adapter.policy.get(full)) is not None and pol.aq
+            and full in astate
+            for _, full in tuple(unit.layers) + tuple(unit.act_sites))
+        if not has_act:
+            continue
+        inputs, outputs = capture_unit_io(
+            adapter, unit, params, cali_data, wstate, astate,
+            asym=hp.asym, use_aq=True, batch_size=capture_batch_size)
+        key, k = jax.random.split(key)
+        astate, losses = reconstruct_unit_act(
+            adapter, unit, params, wstate, astate, inputs, outputs,
+            hp, k, mesh=mesh)
+        if log is not None and losses is not None:
+            log(unit.name, losses)
+    return astate
+
+
 def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
                 hp: ReconHP, key, *, capture_batch_size: int = 128,
                 log=None, mesh=None, resume_dir: Optional[str] = None):
