@@ -84,6 +84,16 @@ def main():
     res["pquant"] = time_chain(
         lambda q, k, v: flash_attention(q, k, v, sm_scale=sm,
                                         p_quant=(dw, zw)), q, k, v)
+    res["pquant_az"] = time_chain(
+        lambda q, k, v: flash_attention(q, k, v, sm_scale=sm,
+                                        p_quant=(dw, zw),
+                                        p_always_zero=True), q, k, v)
+    res["fqk"] = time_chain(
+        lambda q, k, v: flash_attention(q, k, v, sm_scale=sm,
+                                        qkv_quant=qk, qkv_ranges=rng,
+                                        p_quant=(dw, zw),
+                                        p_always_zero=True,
+                                        int8_matmul=False), q, k, v)
     res["int8"] = time_chain(
         lambda q, k, v: flash_attention(q, k, v, sm_scale=sm,
                                         qkv_quant=qk, qkv_ranges=rng,

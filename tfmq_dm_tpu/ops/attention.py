@@ -176,6 +176,9 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         vt = v.transpose(0, 2, 1, 3)
         p_quant = ((pw[1]["delta"], pw[1]["zp"]), pw[0].qrange) \
             if pw is not None else (None, None)
+        # always_zero grids (the reference softmax quantizer) let the
+        # pquant kernel drop the zp sweeps statically
+        p_az = bool(pw is not None and pw[0].always_zero)
         # fast-deploy (bf16 carriers): the fqk kernel (in-kernel
         # fake-quant, bf16 matmuls, no zero-point corrections) — the
         # int8 QK matmul gains nothing at contraction dim 40-80 while
@@ -199,12 +202,14 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                 for p in (pq, pk, pv)),
                 qkv_ranges=tuple(p[0].qrange for p in (pq, pk, pv)),
                 p_quant=p_quant[0], qrange=p_quant[1],
+                p_always_zero=p_az,
                 int8_matmul=not fast, interpret=interp)
             return out.transpose(0, 2, 1, 3).astype(out_dtype)
         if pq is None and pk is None and pv is None:
             out = flash_attention(
                 qt, kt, vt, sm_scale=sm_scale, p_quant=p_quant[0],
-                qrange=p_quant[1], interpret=interp)
+                qrange=p_quant[1], p_always_zero=p_az,
+                interpret=interp)
             return out.transpose(0, 2, 1, 3).astype(out_dtype)
         # mixed/per-channel site configs (non-scalar grids): fake-quant
         # inputs elementwise, then the (optionally w-quantized) flash
@@ -219,7 +224,8 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         out = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), sm_scale=sm_scale,
-            p_quant=p_quant[0], qrange=p_quant[1], interpret=interp)
+            p_quant=p_quant[0], qrange=p_quant[1], p_always_zero=p_az,
+            interpret=interp)
         return out.transpose(0, 2, 1, 3).astype(out_dtype)
 
     # deployed small-T path: int8 matmuls without the flash kernel.

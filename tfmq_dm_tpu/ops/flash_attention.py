@@ -49,8 +49,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _mask_cols(s, kb, block_k, tk_actual):
-    """Mask score columns that are Tk padding (last k block only)."""
+def _mask_cols(s, kb, block_k, tk_actual, nk=None):
+    """Mask score columns that are Tk padding (last k block only).
+    When Tk is tile-aligned (the static common case — SD self-attn
+    4096 % 2048 == 0) there is no padding and the iota+select sweeps
+    vanish from the kernel entirely."""
+    if nk is not None and tk_actual == nk * block_k:
+        return s
     col = kb * block_k + jax.lax.broadcasted_iota(
         jnp.int32, s.shape, dimension=1)
     return jnp.where(col < tk_actual, s, NEG_INF)
@@ -84,7 +89,7 @@ def _fp_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, nk, tk_actual,
         s = jax.lax.dot_general(
             q, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
-        s = _mask_cols(s, kb, block_k, tk_actual)
+        s = _mask_cols(s, kb, block_k, tk_actual, nk)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
@@ -103,75 +108,83 @@ def _fp_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k, nk, tk_actual,
 
 def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, *,
                   block_k, nk, tk_actual, sm_scale, nb, pb, out_dtype,
-                  score_dtype=jnp.float32):
+                  score_dtype=jnp.float32, zp_zero=False):
     """Softmax-output quant (aqtizer_w) over exact normalized
     probabilities, which cannot ride one-pass rescaling (round() is
     non-linear in the running denominator). Two passes, both fused:
 
-    1. fill: QK into a (block_q, Tk) fp32 VMEM scratch (2 MB at
-       T=4096) while tracking the online (row max, rescaled exp-sum) —
-       no separate max/denominator sweeps over the scratch;
-    2. pv: per key block, re-exp from the scratch, quantize against the
-       final (m, l) in registers, and matmul — no quantized-level
-       scratch round-trip.
-
-    This costs one extra exp per element vs caching exp results, but
-    VMEM scratch traffic is the bottleneck at T=4096, not VPU
-    transcendentals (measured: 14.2 -> ~10 ms/call at SD shapes)."""
+    1. fill: QK scores -> e = exp(s - m_running) into a (block_q, Tk)
+       VMEM scratch while tracking the online (row max, rescaled
+       exp-sum); the per-block running maxes stay live as SSA values
+       (the loops unroll over the static, small nk — 2 at SD 4096 with
+       2048-wide k tiles);
+    2. pv: per key block, rebase the cached e to the FINAL (m, l) with
+       one row-scalar factor exp(m_blk - m) * inv — no second
+       full-width exp sweep (the transcendental was a large share of
+       the pquant-vs-fp gap at SD shapes) — quantize in registers,
+       matmul.
+    """
     q = q_ref[0]
     bm, d = q.shape
     delta = dz_ref[0]
     zp = dz_ref[1]
 
-    def fill(kb, carry):
-        m, l = carry
-        ks = k_ref[0, pl.ds(kb * block_k, block_k), :]
+    m = jnp.full((bm, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((bm, 1), jnp.float32)
+    m_blk = []
+    for kb in range(nk):
+        ks = k_ref[0, kb * block_k:(kb + 1) * block_k, :]
         s = jax.lax.dot_general(
             q, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
-        s = _mask_cols(s, kb, block_k, tk_actual)
-        # bf16 scratch (fast mode) halves the dominant VMEM scratch
-        # traffic; (m, l) are computed from the ROUNDED values so the
-        # pv pass quantizes against a consistent denominator
-        s = s.astype(score_dtype).astype(jnp.float32)
-        s_scr[:, pl.ds(kb * block_k, block_k)] = s.astype(score_dtype)
+        s = _mask_cols(s, kb, block_k, tk_actual, nk)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new),
-                                             axis=-1, keepdims=True)
-        return m_new, l
+        # bf16 scratch (fast mode) halves the dominant VMEM scratch
+        # traffic; e is ROUNDED before summing so the pv pass rebases a
+        # consistent denominator
+        e = jnp.exp(s - m_new).astype(score_dtype).astype(jnp.float32)
+        s_scr[:, kb * block_k:(kb + 1) * block_k] = e.astype(score_dtype)
+        l = l * jnp.exp(m - m_new) + jnp.sum(e, axis=-1, keepdims=True)
+        m = m_new
+        m_blk.append(m_new)
 
-    m0 = jnp.full((bm, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bm, 1), jnp.float32)
-    m, l = jax.lax.fori_loop(0, nk, fill, (m0, l0))
     # one exact IEEE divide per ROW, then a broadcast multiply — a
     # full-width f32 divide runs at a fraction of VPU mul throughput
     inv = 1.0 / (l * delta)
 
-    def pv(kb, acc):
-        vs = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        s = s_scr[:, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
-        p_q = jnp.clip(jnp.round(jnp.exp(s - m) * inv) + zp, nb, pb)
-        p_fq = delta * (p_q - zp)
-        return acc + jax.lax.dot_general(
-            p_fq.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+    acc = jnp.zeros((bm, d), jnp.float32)
+    for kb in range(nk):
+        vs = v_ref[0, kb * block_k:(kb + 1) * block_k, :]
+        e = s_scr[:, kb * block_k:(kb + 1) * block_k].astype(jnp.float32)
+        f = jnp.exp(m_blk[kb] - m) * inv                   # (bm, 1)
+        # the delta dequant rides AFTER the matmul (levels 0..255 are
+        # exact in bf16, so p_q - zp loses nothing as an MXU operand,
+        # while delta*(p_q-zp) rounded to bf16 did); always_zero grids
+        # (the reference softmax quantizer) drop the zp sweeps and the
+        # lower clip (round(e*f) >= 0) statically
+        if zp_zero:
+            p_lv = jnp.minimum(jnp.round(e * f), pb)
+        else:
+            p_lv = jnp.clip(jnp.round(e * f) + zp, nb, pb) - zp
+        acc = acc + jax.lax.dot_general(
+            p_lv.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-
-    acc = jax.lax.fori_loop(0, nk, pv, jnp.zeros((bm, d), jnp.float32))
-    o_ref[0] = acc.astype(out_dtype)
+    o_ref[0] = (delta * acc).astype(out_dtype)
 
 
 def _fqk_kernel(sc_ref, q_ref, k_ref, v_ref, o_ref, s_scr, kf_scr,
                 vf_scr, *, block_k, nk, tk_actual, sm_scale, ranges,
-                w_range, quant_w, out_dtype):
+                w_range, quant_w, out_dtype, zp_zero=False):
     """Fast-deploy kernel: q/k/v fake-quantized IN-KERNEL (saves three
     full XLA elementwise sweeps over the activations), bf16 matmuls,
-    optional softmax-output quant with the fused two-pass structure of
-    _quant_kernel. k/v are fq'd ONCE per (b,h) into persistent VMEM
-    scratch on the first q-block — TPU grid cells run sequentially with
-    the q-block as the minor dimension, so the scratch survives across
-    the row's cells (a per-cell fq re-did that work nq times and gave
-    the in-kernel variant no net win). sc_ref (SMEM): [dq, zq, dk, zk,
-    dv, zv, dw, zw]."""
+    optional softmax-output quant with the fused e-scratch two-pass
+    structure of _quant_kernel (exp once in fill, row-scalar rebase in
+    pv). k/v are fq'd ONCE per (b,h) into persistent VMEM scratch on the
+    first q-block — TPU grid cells run sequentially with the q-block as
+    the minor dimension, so the scratch survives across the row's cells
+    (a per-cell fq re-did that work nq times and gave the in-kernel
+    variant no net win). sc_ref (SMEM): [dq, zq, dk, zk, dv, zv, dw,
+    zw]."""
     dq, zq = sc_ref[0], sc_ref[1]
     dk, zk = sc_ref[2], sc_ref[3]
     dv, zv = sc_ref[4], sc_ref[5]
@@ -191,47 +204,47 @@ def _fqk_kernel(sc_ref, q_ref, k_ref, v_ref, o_ref, s_scr, kf_scr,
             return 0
         jax.lax.fori_loop(0, nk, one, 0)
 
-    def fill(kb, carry):
-        m, l = carry
-        ks = kf_scr[pl.ds(kb * block_k, block_k), :]
+    m = jnp.full((bm, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((bm, 1), jnp.float32)
+    m_blk = []
+    for kb in range(nk):
+        ks = kf_scr[kb * block_k:(kb + 1) * block_k, :]
         s = jax.lax.dot_general(
             q, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
-        s = _mask_cols(s, kb, block_k, tk_actual)
-        s_scr[:, pl.ds(kb * block_k, block_k)] = s
+        s = _mask_cols(s, kb, block_k, tk_actual, nk)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new),
-                                             axis=-1, keepdims=True)
-        return m_new, l
+        e = jnp.exp(s - m_new)
+        s_scr[:, kb * block_k:(kb + 1) * block_k] = e
+        l = l * jnp.exp(m - m_new) + jnp.sum(e, axis=-1, keepdims=True)
+        m = m_new
+        m_blk.append(m_new)
 
-    m0 = jnp.full((bm, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bm, 1), jnp.float32)
-    m, l = jax.lax.fori_loop(0, nk, fill, (m0, l0))
+    acc = jnp.zeros((bm, d), jnp.float32)
     if quant_w:
         wnb, wpb = w_range
         inv = 1.0 / (l * dw)
-
-        def pv(kb, acc):
-            vs = vf_scr[pl.ds(kb * block_k, block_k), :]
-            sblk = s_scr[:, pl.ds(kb * block_k, block_k)]
-            p_q = jnp.clip(jnp.round(jnp.exp(sblk - m) * inv) + zw,
-                           wnb, wpb)
-            p_fq = dw * (p_q - zw)
-            return acc + jax.lax.dot_general(
-                p_fq.astype(mdt), vs, (((1,), (0,)), ((), ())),
+        for kb in range(nk):
+            vs = vf_scr[kb * block_k:(kb + 1) * block_k, :]
+            e = s_scr[:, kb * block_k:(kb + 1) * block_k]
+            f = jnp.exp(m_blk[kb] - m) * inv
+            if zp_zero:
+                p_lv = jnp.minimum(jnp.round(e * f), wpb)
+            else:
+                p_lv = jnp.clip(jnp.round(e * f) + zw, wnb, wpb) - zw
+            acc = acc + jax.lax.dot_general(
+                p_lv.astype(mdt), vs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+        acc = dw * acc
     else:
         inv = 1.0 / l
-
-        def pv(kb, acc):
-            vs = vf_scr[pl.ds(kb * block_k, block_k), :]
-            sblk = s_scr[:, pl.ds(kb * block_k, block_k)]
-            p = jnp.exp(sblk - m) * inv
-            return acc + jax.lax.dot_general(
+        for kb in range(nk):
+            vs = vf_scr[kb * block_k:(kb + 1) * block_k, :]
+            e = s_scr[:, kb * block_k:(kb + 1) * block_k]
+            p = e * (jnp.exp(m_blk[kb] - m) * inv)
+            acc = acc + jax.lax.dot_general(
                 p.astype(mdt), vs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-
-    acc = jax.lax.fori_loop(0, nk, pv, jnp.zeros((bm, d), jnp.float32))
     o_ref[0] = acc.astype(out_dtype)
 
 
@@ -268,7 +281,7 @@ def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, vs_ref,
         # fq(q)·fq(k) = dq dk (q8·k8 - zk'·Σq8 - zq'·Σk8 + D zq' zk')
         s = dq * dk * (acc - zk_c * qsum - zq_c * ksum
                        + d_actual * zq_c * zk_c) * sm_scale
-        return _mask_cols(s, kb, block_k, tk_actual)
+        return _mask_cols(s, kb, block_k, tk_actual, nk)
 
     if quant_w:
         wnb, wpb = w_range
@@ -344,9 +357,10 @@ def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, vs_ref,
 @functools.partial(
     jax.jit, static_argnames=("sm_scale", "qrange", "ranges", "block_q",
                               "block_k", "interpret", "mode",
-                              "score_dtype"))
+                              "score_dtype", "zp_zero"))
 def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
-                block_k, interpret, mode, score_dtype=jnp.float32):
+                block_k, interpret, mode, score_dtype=jnp.float32,
+                zp_zero=False):
     bh, tq, d = q.shape
     tk = k.shape[1]
     tqp = _round_up(tq, block_q)
@@ -388,7 +402,8 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
             ranges=tuple((float(a), float(b)) for a, b in ranges),
             w_range=(None if qrange is None else
                      (float(qrange[0]), float(qrange[1]))),
-            quant_w=qrange is not None, out_dtype=q.dtype)
+            quant_w=qrange is not None, out_dtype=q.dtype,
+            zp_zero=zp_zero)
         out = pl.pallas_call(
             kern, grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -403,7 +418,8 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
         kern = functools.partial(
             _quant_kernel, block_k=block_k, nk=nk, tk_actual=tk,
             sm_scale=sm_scale, nb=float(nb), pb=float(pb),
-            out_dtype=q.dtype, score_dtype=score_dtype)
+            out_dtype=q.dtype, score_dtype=score_dtype,
+            zp_zero=zp_zero)
         out = pl.pallas_call(
             kern, grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -475,6 +491,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     block_q: Optional[int] = None,
                     block_k: Optional[int] = None,
                     score_dtype=jnp.float32,
+                    p_always_zero: bool = False,
                     interpret: bool = False) -> jax.Array:
     """Blockwise attention over (B, H, T, D) tensors.
 
@@ -531,7 +548,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                           else tuple(qrange),
                           ranges=tuple(tuple(r) for r in qkv_ranges),
                           block_q=bq, block_k=bk, interpret=interpret,
-                          mode="int8" if int8_matmul else "fqk")
+                          mode="int8" if int8_matmul else "fqk",
+                          zp_zero=p_always_zero)
     elif p_quant is not None:
         delta, zp = p_quant
         dz = jnp.stack([jnp.asarray(delta, jnp.float32).reshape(()),
@@ -539,7 +557,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         out = _flash_call(qf, kf, vf, dz, None, sm_scale=float(sm_scale),
                           qrange=tuple(qrange), ranges=None,
                           block_q=bq, block_k=bk, interpret=interpret,
-                          mode="pquant", score_dtype=score_dtype)
+                          mode="pquant", score_dtype=score_dtype,
+                          zp_zero=p_always_zero)
     else:
         out = _flash_call(qf, kf, vf, None, None,
                           sm_scale=float(sm_scale), qrange=None,
