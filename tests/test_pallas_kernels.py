@@ -100,3 +100,45 @@ def test_int8_matmul_pre_matches_int_ops():
                              block_n=128, block_k=64)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-3, rtol=1e-4)
+
+
+def test_gn_swish_quant_int8_matches_unfused():
+    """Fused GroupNorm(+scale-shift)+SiLU+quantize kernel agrees with
+    the XLA chain to <=1 int8 level (reduction-tree reorder)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfmq_dm_tpu.ops import nn as fnn
+    from tfmq_dm_tpu.ops.int_ops import quantize_act_int8
+    from tfmq_dm_tpu.ops.pallas_kernels import gn_swish_quant_int8
+    from tfmq_dm_tpu.quant.quantizer import QCfg
+
+    cfg = QCfg(bits=8, symmetric=False)
+    for (B, H, W, C, eps, sw, use_ss) in [
+            (2, 8, 8, 64, 1e-5, True, False),
+            (2, 8, 8, 64, 1e-5, True, True),
+            (2, 32, 32, 320, 1e-5, True, False),
+            (3, 4, 4, 320, 1e-6, False, False)]:
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C))
+        gamma = jax.random.normal(jax.random.PRNGKey(1), (C,)) * .1 + 1
+        beta = jax.random.normal(jax.random.PRNGKey(2), (C,)) * .1
+        delta, zp = jnp.float32(0.02), jnp.float32(117.0)
+        ss = None
+        y = fnn.group_norm(x, gamma, beta, groups=32, eps=eps)
+        if use_ss:
+            sc = jax.random.normal(jax.random.PRNGKey(3), (B, C)) * .1
+            sh = jax.random.normal(jax.random.PRNGKey(4), (B, C)) * .1
+            ss = (sc, sh)
+            y = y * (1.0 + sc[:, None, None, :]) + sh[:, None, None, :]
+        if sw:
+            y = fnn.swish(y)
+        ref_q, ref_zc = quantize_act_int8(y, delta, zp, cfg)
+        got_q, got_zc = gn_swish_quant_int8(
+            x, gamma, beta, delta, zp, cfg, groups=32, eps=eps,
+            do_swish=sw, ss=ss, interpret=True)
+        diff = np.abs(np.asarray(got_q, np.int32)
+                      - np.asarray(ref_q, np.int32))
+        assert diff.max() <= 1, (B, H, W, C, diff.max())
+        assert (diff > 0).mean() < 1e-4
+        assert float(got_zc) == float(ref_zc)

@@ -320,3 +320,137 @@ def int4_matmul_dequant(x: jax.Array, w_packed: jax.Array,
       zp_wc.reshape(1, n).astype(jnp.float32),
       bias.reshape(1, n).astype(jnp.float32))
     return out.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# fused GroupNorm (+scale-shift) + SiLU + int8 activation quantize
+# ---------------------------------------------------------------------------
+
+def _gn_sq_kernel(sc_ref, x_ref, g_ref, b_ref, ss_ref, o_ref, *,
+                  groups, eps, nb, pb, off, do_swish, has_ss):
+    """One batch row per grid cell: the row lives in VMEM across both
+    the stats pass and the apply pass, so x is read from HBM once
+    (the XLA chain reads it twice — reduce, then normalize) and the
+    swish + quantize sweeps fuse into the normalize write.
+
+    Group stats with C as the lane dim: per-column sums (sublane
+    reduction), then fold columns into groups with a tiny (C, g) 0/1
+    selection matmul — reshaping lanes to (g, C/g) would put C/g (e.g.
+    10 for SD's 320ch/32g) on the lane axis, off the tiled layout."""
+    hw, c = x_ref.shape[1:]
+    cg = c // groups
+    delta = sc_ref[0]
+    zp = sc_ref[1]
+    # row chunks bound the f32 temporaries (a whole 4096x320 row's
+    # worth of f32 intermediates overflowed the 16 MB scoped VMEM)
+    ch = min(hw, 512)
+    assert hw % ch == 0, (hw, ch)
+    nch = hw // ch
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    msel = (col == grp).astype(jnp.float32)             # (C, g)
+
+    def stats(i, carry):
+        s1, s2 = carry
+        xc = x_ref[0, pl.ds(i * ch, ch), :].astype(jnp.float32)
+        s1 = s1 + jnp.sum(xc, axis=0, keepdims=True)
+        s2 = s2 + jnp.sum(xc * xc, axis=0, keepdims=True)
+        return s1, s2
+
+    z = jnp.zeros((1, c), jnp.float32)
+    s1, s2 = jax.lax.fori_loop(0, nch, stats, (z, z))
+    gs1 = jnp.dot(s1, msel, preferred_element_type=jnp.float32)
+    gs2 = jnp.dot(s2, msel, preferred_element_type=jnp.float32)
+    n = float(hw * cg)
+    mean_g = gs1 * (1.0 / n)
+    var_g = jnp.maximum(gs2 * (1.0 / n) - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, msel.T,
+                     preferred_element_type=jnp.float32)  # (1, C)
+    inv_c = jnp.dot(inv_g, msel.T,
+                    preferred_element_type=jnp.float32)
+
+    gamma = g_ref[0].astype(jnp.float32)
+    beta = b_ref[0].astype(jnp.float32)
+    # fold gamma/inv into one per-channel scale, beta/mean into one bias
+    a = inv_c * gamma
+    bb = beta - mean_c * a
+    if has_ss:
+        scale = ss_ref[0, 0:1].astype(jnp.float32)      # (1, C)
+        shift = ss_ref[0, 1:2].astype(jnp.float32)
+        # y*(1+scale)+shift folds into the same affine form
+        a = a * (1.0 + scale)
+        bb = bb * (1.0 + scale) + shift
+
+    def apply(i, _):
+        xc = x_ref[0, pl.ds(i * ch, ch), :].astype(jnp.float32)
+        y = xc * a + bb
+        if do_swish:
+            y = y * jax.nn.sigmoid(y)
+        q = jnp.clip(jnp.round(y * (1.0 / delta)) + zp, nb, pb) - off
+        o_ref[0, pl.ds(i * ch, ch), :] = q.astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, nch, apply, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "qrange",
+                                             "off", "do_swish",
+                                             "interpret"))
+def _gn_sq_call(x, gamma, beta, dz, ss, *, groups, eps, qrange, off,
+                do_swish, interpret):
+    b, hw, c = x.shape
+    nb, pb = qrange
+    has_ss = ss is not None
+    if ss is None:
+        ss = jnp.zeros((b, 2, c), x.dtype)
+    kern = functools.partial(
+        _gn_sq_kernel, groups=groups, eps=float(eps), nb=float(nb),
+        pb=float(pb), off=float(off), do_swish=do_swish, has_ss=has_ss)
+    return pl.pallas_call(
+        kern, grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), jnp.int8),
+        interpret=interpret,
+    )(dz, x, gamma.reshape(1, c), beta.reshape(1, c), ss)
+
+
+def gn_swish_quant_int8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                        delta, zp, cfg, *, groups: int = 32,
+                        eps: float = 1e-5, do_swish: bool = True,
+                        ss: Optional[Tuple[jax.Array, jax.Array]] = None,
+                        interpret: bool = False):
+    """GroupNorm -> [scale-shift] -> [SiLU] -> per-tensor int8 act
+    quantize, fused in one VMEM-resident pass per batch row. NHWC in,
+    centered int8 codes out (the int8_conv2d input contract,
+    ops/int_ops.py quantize_act_int8). ``ss``: the LDM scale-shift-norm
+    conditioning pair, each (B, C) (openaimodel.py:268-272).
+
+    Fast-deploy only: summation order inside the stats differs from the
+    XLA group_norm by reduction tree, so exact f32 deployments (bit
+    equality vs the fake-quant sim) keep the unfused ops."""
+    bsz, h, w, c = x.shape
+    off = 2 ** (cfg.bits - 1)
+    dz = jnp.stack([jnp.asarray(delta, jnp.float32).reshape(()),
+                    jnp.asarray(zp, jnp.float32).reshape(())])
+    ss3 = None
+    if ss is not None:
+        ss3 = jnp.stack([ss[0], ss[1]], axis=1).astype(x.dtype)  # (B,2,C)
+    out = _gn_sq_call(x.reshape(bsz, h * w, c), gamma, beta, dz, ss3,
+                      groups=groups, eps=eps, qrange=cfg.qrange, off=off,
+                      do_swish=do_swish, interpret=interpret)
+    return out.reshape(bsz, h, w, c), \
+        (jnp.asarray(zp, jnp.float32) - off).astype(jnp.float32)
