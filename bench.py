@@ -1,14 +1,20 @@
 """Benchmark: quantized UNet denoise throughput vs bf16 FP on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {}}
 
-- metric: w8a8 DDIM CIFAR-10 UNet denoise throughput (image-denoise-steps
-  per second per chip), batch 64, real int8 MXU kernels.
+- metric: **w4a8** DDIM CIFAR-10 UNet denoise throughput
+  (image-denoise-steps per second per chip), batch 64, real int8 MXU
+  kernels executing the 4-bit codes — the BASELINE.json metric
+  ("w4a8 UNet denoise steps/sec/chip"). ``extra`` carries the w8a8 and
+  bf16-FP companions from the same run.
 - vs_baseline: ratio vs the bf16 full-precision UNet on the same chip —
   the reference deploys integer speed only via external OpenVINO
   (README.md:132) and its own fake-quant path runs *slower* than FP;
   BASELINE.json's north star is >=2x bf16 with real int kernels.
+- the SD v1.4 north-star measurement lives in ``bench_sd.py`` (its
+  compile takes minutes through the remote relay; results recorded in
+  docs/PERF.md).
 
 Timing methodology: the denoise loop runs ON DEVICE as a
 ``lax.fori_loop`` (exactly how the samplers execute) and we time the
@@ -77,45 +83,60 @@ def main():
             p, cfg, xx.astype(jnp.bfloat16), tt).astype(jnp.float32),
         params_bf16, x, t, b)
 
-    # w8a8 DEPLOYED integer path (real int8 MXU convs, bf16 elsewhere)
+    # DEPLOYED integer paths (real int8 MXU convs, bf16 elsewhere):
+    # w4a8 (the BASELINE.json metric — the int8 kernels execute the
+    # 4-bit codes) and w8a8
     from tfmq_dm_tpu.quant.deploy import (cast_fp_params,
                                           deploy_weights,
                                           make_deployed_model_fn,
                                           specialize_maps)
     from tfmq_dm_tpu.quant.fsc import _fsc_init
 
-    # symmetric weight grids are the deployment default: bit-exact vs
-    # their own fake-quant sim, FID-equivalent at 8 bits, and the
-    # weight-zero-point activation-sum correction vanishes (scripts/
-    # ablate_cifar.py: sym beats the bf16 FP baseline, asym does not)
-    adapter = ddim_units.build_adapter(cfg, w_bits=8, a_bits=8,
-                                       w_sym=True)
-    wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
-    astate, _ = _fsc_init(adapter, "minmax", params, wstate,
-                          (x[:8], t[:8]))
-    astate = jax.tree.map(lambda a: a[None], astate)  # 1 FSC group
-    deployed = deploy_weights(adapter.policy, params, wstate)
-    deployed = specialize_maps(adapter, params, deployed,
-                               example_args=(x[:1], t[:1]), use_aq=True)
-    # fast-deploy carriers: FP-fallback layers + glue ops run bf16 (the
-    # same dtype as the FP baseline); int8 correction math stays f32
-    params_q = cast_fp_params(params)
+    def quantized_tp(w_bits: int) -> float:
+        # symmetric weight grids are the deployment default: bit-exact
+        # vs their own fake-quant sim, FID-equivalent at 8 bits, and the
+        # weight-zero-point activation-sum correction vanishes
+        # (scripts/ablate_cifar.py: sym beats the bf16 FP baseline,
+        # asym does not)
+        adapter = ddim_units.build_adapter(cfg, w_bits=w_bits, a_bits=8,
+                                           w_sym=True)
+        wstate = init_weight_qparams(adapter.policy, params,
+                                     scaler="minmax")
+        astate, _ = _fsc_init(adapter, "minmax", params, wstate,
+                              (x[:8], t[:8]))
+        astate = jax.tree.map(lambda a: a[None], astate)  # 1 FSC group
+        deployed = deploy_weights(adapter.policy, params, wstate)
+        deployed = specialize_maps(adapter, params, deployed,
+                                   example_args=(x[:1], t[:1]),
+                                   use_aq=True)
+        # fast-deploy carriers: FP-fallback layers + glue ops run bf16
+        # (the FP baseline's dtype); int8 correction math stays f32
+        params_q = cast_fp_params(params)
 
-    def q_step(bundle, xx, tt):
-        p, dep, ast = bundle
-        model_fn = make_deployed_model_fn(adapter, p, dep, ast,
-                                          use_aq=True,
-                                          act_dtype=jnp.bfloat16)
-        return model_fn(xx.astype(jnp.bfloat16), tt,
-                        0).astype(jnp.float32)
+        def q_step(bundle, xx, tt):
+            p, dep, ast = bundle
+            model_fn = make_deployed_model_fn(adapter, p, dep, ast,
+                                              use_aq=True,
+                                              act_dtype=jnp.bfloat16)
+            return model_fn(xx.astype(jnp.bfloat16), tt,
+                            0).astype(jnp.float32)
 
-    q_tp = _steps_per_sec(q_step, (params_q, deployed, astate), x, t, b)
+        return _steps_per_sec(q_step, (params_q, deployed, astate),
+                              x, t, b)
+
+    q8_tp = quantized_tp(8)
+    q4_tp = quantized_tp(4)
 
     print(json.dumps({
-        "metric": "cifar10_unet_w8a8_denoise_steps_per_sec_per_chip",
-        "value": round(q_tp, 2),
+        "metric": "cifar10_unet_w4a8_denoise_steps_per_sec_per_chip",
+        "value": round(q4_tp, 2),
         "unit": "img-denoise-steps/s",
-        "vs_baseline": round(q_tp / fp_tp, 4),
+        "vs_baseline": round(q4_tp / fp_tp, 4),
+        "extra": {
+            "w8a8_steps_per_sec": round(q8_tp, 2),
+            "w8a8_vs_baseline": round(q8_tp / fp_tp, 4),
+            "bf16_fp_steps_per_sec": round(fp_tp, 2),
+        },
     }))
 
 

@@ -134,3 +134,48 @@ def test_cli_dp_sampling(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "sampling mesh" in r.stderr
     assert len(os.listdir(os.path.join(out, "img"))) == 4
+
+
+def _save_tiny_sd_ckpt(path):
+    task = get_task("tiny_sd")
+    u = ldm_unet.init_params(jax.random.PRNGKey(0), task.unet)
+    v = vae.init_params(jax.random.PRNGKey(1), task.vae, encoder=False)
+    c = clip_text.init_params(jax.random.PRNGKey(2), task.clip)
+    sd = {}
+    for k, t in export_state_dict(
+            u, ldm_unet.iter_layers(task.unet)).items():
+        sd[f"model.diffusion_model.{k}"] = torch.from_numpy(np.array(t))
+    for k, t in export_state_dict(
+            v, vae.iter_layers(task.vae, encoder=False)).items():
+        sd[f"first_stage_model.{k}"] = torch.from_numpy(np.array(t))
+    for k, t in export_state_dict(
+            c, clip_text.iter_layers(task.clip)).items():
+        sd[f"cond_stage_model.transformer.{k}"] = \
+            torch.from_numpy(np.array(t))
+    torch.save({"state_dict": sd}, path)
+
+
+def test_cli_sd_text_cali_and_sample(tmp_path):
+    """SD-shaped end to end: tiny text-conditioned task through the CLI
+    (stub tokenizer), exercising PLMS + CFG + FSC calibration, then
+    quantized sampling with --int-kernels, --grid and --watermark (the
+    txt2img.py flag surface)."""
+    ckpt = str(tmp_path / "sd.ckpt")
+    cali = str(tmp_path / "cali.npz")
+    _save_tiny_sd_ckpt(ckpt)
+    r = _run(["--task", "tiny_sd", "--ckpt", ckpt, "--ptq", "--cali",
+              "--wq", "8", "--aq", "8", "--use_aq",
+              "--cali_save_path", cali, "--cali_iters", "2",
+              "--cali_n", "2", "--prompt", "a photo of a test"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(cali)
+
+    out = str(tmp_path / "run")
+    r = _run(["--task", "tiny_sd", "--ckpt", ckpt, "--ptq",
+              "--cali_ckpt", cali, "--use_aq", "--int-kernels",
+              "-n", "2", "--batch", "2", "--scale", "7.5",
+              "--prompt", "a photo of a test", "--grid", "--watermark",
+              "--out", out])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert len(os.listdir(os.path.join(out, "img"))) == 2
+    assert os.path.exists(os.path.join(out, "grid.png"))

@@ -175,3 +175,78 @@ def test_harvest_modes():
     _, (xs3, t3) = S.dpm_solver_pp_2m_scan(_toy_jax, dsched, x,
                                            collect="traj")
     assert xs3.shape == (5, 2, 8, 8, 3)
+
+
+def test_dpm_solver_matches_reference_torch_entry_config():
+    """Golden parity with the torch dpm_solver.py at the EXACT entry-flow
+    configuration (sampler.py:82-85): NoiseScheduleVP('discrete'),
+    model_type='noise', guidance_type='classifier-free' scale 7.5,
+    DPM_Solver(predict_x0=True, thresholding=False), steps multistep
+    order-2 time_uniform lower_order_final. The torch implementation is
+    imported from the read-only reference tree at test time (skipped
+    where unavailable). Out-of-scope variants (orders 1/3, singlestep,
+    adaptive, thresholding) are documented in docs/COMPONENTS.md row 16.
+    """
+    import os
+    import sys
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    ref_dir = ("/root/reference/stable-diffusion/ldm/models/diffusion/"
+               "dpm_solver")
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference tree not available")
+    sys.path.insert(0, ref_dir)
+    try:
+        import dpm_solver as ref
+    finally:
+        sys.path.pop(0)
+
+    n_t, steps, scale = 1000, 8, 7.5
+    betas = S.make_beta_schedule("linear", n_t, linear_start=0.0015,
+                                 linear_end=0.0195)
+    ac = np.cumprod(1 - betas).astype(np.float32)
+    rng = np.random.RandomState(0)
+    x0 = rng.randn(2, 8, 8, 3).astype(np.float32)
+    cval = rng.randn(2, 1, 1, 1).astype(np.float32)
+
+    def toy_np(x, t, c):
+        tt = np.asarray(t, np.float32).reshape(-1, 1, 1, 1) / 1000.0
+        return np.tanh(x) * (0.4 + tt) + 0.05 * c
+
+    # ---- torch reference at the entry config ----
+    def apply_model(x, t, c):
+        return torch.from_numpy(
+            toy_np(x.numpy(), t.numpy(), c.numpy()))
+
+    ns = ref.NoiseScheduleVP("discrete",
+                             alphas_cumprod=torch.from_numpy(ac))
+    model_fn = ref.model_wrapper(
+        apply_model, ns, model_type="noise",
+        guidance_type="classifier-free",
+        condition=torch.from_numpy(cval),
+        unconditional_condition=torch.zeros_like(
+            torch.from_numpy(cval)),
+        guidance_scale=scale)
+    solver = ref.DPM_Solver(model_fn, ns, predict_x0=True,
+                            thresholding=False)
+    with torch.no_grad():
+        out = solver.sample(torch.from_numpy(x0), steps=steps,
+                            skip_type="time_uniform",
+                            method="multistep", order=2,
+                            lower_order_final=True)
+    ref_x = (out[0] if isinstance(out, tuple) else out).numpy()
+
+    # ---- this repo's scan, CFG applied in model_fn (cli.py shape) ----
+    sched = S.DPMSchedule(ac, steps)
+    cj = jnp.asarray(cval)
+
+    def model_fn_jax(x, t, step):
+        e_uc = jnp.tanh(x) * (0.4 + t.reshape(-1, 1, 1, 1) / 1000.0)
+        e_c = e_uc + 0.05 * cj
+        return e_uc + scale * (e_c - e_uc)
+
+    got = S.dpm_solver_pp_2m_scan(model_fn_jax, sched, jnp.asarray(x0))
+    np.testing.assert_allclose(np.asarray(got), ref_x, atol=2e-4,
+                               rtol=2e-4)

@@ -128,3 +128,60 @@ def test_tib_matches_inline():
     outs = ldm_unet.tib_forward(params, cfg, t)
     n_res = sum(1 for k in params if k.endswith("emb_layers.1"))
     assert len(outs) == n_res
+
+
+def test_diffusion_wrapper_conditioning_modes():
+    """DiffusionWrapper dispatch (ddpm.py:1395-1424): concat prepends
+    conditioning channels to x, crossattn concatenates context tokens,
+    hybrid does both, adm routes class ids into label_emb. Each mode
+    must equal the equivalent direct apply() call."""
+    import numpy as np
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 8, 8, 3))
+    t = jnp.array([5, 9], jnp.int32)
+
+    # concat: in_channels covers x + 2 conditioning channels
+    cfg_c = ldm_unet.tiny_ldm_config(in_channels=5)
+    p_c = ldm_unet.init_params(jax.random.PRNGKey(1), cfg_c)
+    cc = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 2))
+    got = ldm_unet.diffusion_wrapper(p_c, cfg_c, "concat", x, t,
+                                     c_concat=[cc])
+    ref = ldm_unet.apply(p_c, cfg_c, jnp.concatenate([x, cc], -1), t)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # crossattn: two context chunks concatenated on the token axis
+    cfg_x = ldm_unet.tiny_sd_config()
+    p_x = ldm_unet.init_params(jax.random.PRNGKey(3), cfg_x)
+    c1 = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 24))
+    c2 = jax.random.normal(jax.random.PRNGKey(5), (2, 2, 24))
+    got = ldm_unet.diffusion_wrapper(p_x, cfg_x, "crossattn", x, t,
+                                     c_crossattn=[c1, c2])
+    ref = ldm_unet.apply(p_x, cfg_x, x, t,
+                         context=jnp.concatenate([c1, c2], 1))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # hybrid
+    cfg_h = ldm_unet.tiny_sd_config(in_channels=5)
+    p_h = ldm_unet.init_params(jax.random.PRNGKey(6), cfg_h)
+    got = ldm_unet.diffusion_wrapper(p_h, cfg_h, "hybrid", x, t,
+                                     c_concat=[cc], c_crossattn=[c1])
+    ref = ldm_unet.apply(p_h, cfg_h, jnp.concatenate([x, cc], -1), t,
+                         context=c1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # adm: label_emb path
+    cfg_a = ldm_unet.tiny_ldm_config(num_classes=7)
+    p_a = ldm_unet.init_params(jax.random.PRNGKey(7), cfg_a)
+    y = jnp.array([1, 4], jnp.int32)
+    got = ldm_unet.diffusion_wrapper(p_a, cfg_a, "adm", x, t,
+                                     c_crossattn=[y])
+    ref = ldm_unet.apply(p_a, cfg_a, x, t, y=y)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # none
+    cfg_n = ldm_unet.tiny_ldm_config()
+    p_n = ldm_unet.init_params(jax.random.PRNGKey(8), cfg_n)
+    got = ldm_unet.diffusion_wrapper(p_n, cfg_n, None, x, t)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(ldm_unet.apply(p_n, cfg_n, x, t)))

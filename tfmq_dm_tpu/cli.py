@@ -119,9 +119,16 @@ def _get_context(task, args, cond_params, n):
         else:
             raise SystemExit("--prompt or --from-file required for text")
         prompts = (prompts * ((n + len(prompts) - 1) // len(prompts)))[:n]
-        ccfg = clip_text.vit_l_14_config()
-        toks = clip_text.tokenize(prompts)
-        utoks = clip_text.tokenize([""] * n)
+        ccfg = task.clip or clip_text.vit_l_14_config()
+        if ccfg.vocab_size == clip_text.vit_l_14_config().vocab_size:
+            toks = clip_text.tokenize(prompts, max_length=ccfg.max_len)
+            utoks = clip_text.tokenize([""] * n,
+                                       max_length=ccfg.max_len)
+        else:
+            # tiny/test tasks: deterministic stub tokenizer (no HF
+            # vocab dependency)
+            toks = clip_text.stub_tokenize(prompts, ccfg)
+            utoks = clip_text.stub_tokenize([""] * n, ccfg)
         ctx = clip_text.apply(cond_params, ccfg, toks)
         uc = clip_text.apply(cond_params, ccfg, utoks)
         return ctx, uc

@@ -47,6 +47,9 @@ class TaskConfig:
     use_ema: bool = True
     # text defaults
     n_prompts: int = 128
+    # CLIP text-encoder config for cond=="text" (None -> ViT-L/14, the
+    # SD v1.4 FrozenCLIPEmbedder); tiny tasks carry tiny_clip_config
+    clip: object = None
 
 
 def cifar10() -> TaskConfig:
@@ -168,6 +171,19 @@ def tiny_ldm() -> TaskConfig:
         cali_n=4, interval_length=1, recon_batch=4, use_ema=False)
 
 
+def tiny_sd() -> TaskConfig:
+    """CPU-testable text-conditioned miniature of the SD pipeline:
+    tiny CLIP text encoder (stub tokenizer), PLMS + CFG, FSC."""
+    from ..models import clip_text
+    return TaskConfig(
+        name="tiny_sd", family="ldm",
+        unet=ldm_unet.tiny_sd_config(context_dim=32),
+        vae=vae_mod.tiny_vae_config(), cond="text", beta_start=0.0015,
+        beta_end=0.0195, sampler="plms", steps=4, cfg_scale=7.5,
+        num_timesteps=100, cali_n=2, interval_length=1, recon_batch=4,
+        use_ema=False, n_prompts=2, clip=clip_text.tiny_clip_config())
+
+
 def tiny_cin() -> TaskConfig:
     return TaskConfig(
         name="tiny_cin", family="ldm",
@@ -182,6 +198,7 @@ TASKS = {
     "cifar10": cifar10,
     "tiny_ddim": tiny_ddim,
     "tiny_ldm": tiny_ldm,
+    "tiny_sd": tiny_sd,
     "tiny_cin": tiny_cin,
     "ddim_celeba64": ddim_celeba64,
     "ddim_lsun_bedroom": ddim_lsun_bedroom,

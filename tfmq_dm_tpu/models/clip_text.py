@@ -133,6 +133,23 @@ def class_embed(emb_table: jax.Array, y: jax.Array) -> jax.Array:
     return emb_table[y][:, None, :]
 
 
+def stub_tokenize(texts, cfg: CLIPTextConfig):
+    """Deterministic hash tokenizer for tiny/test text tasks (no HF
+    vocab dependency): word -> md5 bucket in [3, vocab), BOS=1, EOS=2,
+    PAD=0. NOT the CLIP BPE — real SD checkpoints must use
+    :func:`tokenize`."""
+    import hashlib
+    out = np.zeros((len(texts), cfg.max_len), np.int32)
+    for i, text in enumerate(texts):
+        ids = [1]
+        for wd in str(text).lower().split()[:cfg.max_len - 2]:
+            h = int(hashlib.md5(wd.encode()).hexdigest(), 16)
+            ids.append(3 + h % (cfg.vocab_size - 3))
+        ids.append(2)
+        out[i, :len(ids)] = ids
+    return jnp.asarray(out)
+
+
 def tokenize(texts, max_length: int = 77):
     """Tokenize with HF CLIPTokenizer (requires local vocab files —
     zero-egress deployments must pre-seed the HF cache). Returns an

@@ -585,6 +585,34 @@ def apply(params: Dict[str, dict], cfg: LDMUNetConfig, x: jax.Array,
     return qfunc.qconv2d(qctx, "out.2", h, params["out.2"])
 
 
+def diffusion_wrapper(params: Dict[str, dict], cfg: LDMUNetConfig,
+                      conditioning_key: Optional[str], x: jax.Array,
+                      t: jax.Array, c_concat=None, c_crossattn=None,
+                      qctx: Optional[QuantCtx] = None) -> jax.Array:
+    """DiffusionWrapper.forward conditioning dispatch (ddpm.py:1395-1424)
+    as a pure function. ``c_concat``/``c_crossattn``: lists of arrays
+    (NHWC for concat; (B,T,Cd) for crossattn; adm takes class ids in
+    c_crossattn[0]). The reference's per-step FSC ``load_state_dict``
+    swap (ddpm.py:1403-1405) does not live here — FSC params are batched
+    arrays sliced inside the jitted sampler (quant/inference.py)."""
+    assert conditioning_key in (None, "none", "concat", "crossattn",
+                                "hybrid", "adm"), conditioning_key
+    if conditioning_key in (None, "none"):
+        return apply(params, cfg, x, t, qctx=qctx)
+    if conditioning_key == "concat":
+        xc = jnp.concatenate([x] + list(c_concat), axis=-1)
+        return apply(params, cfg, xc, t, qctx=qctx)
+    if conditioning_key == "crossattn":
+        cc = jnp.concatenate(list(c_crossattn), axis=1)
+        return apply(params, cfg, x, t, context=cc, qctx=qctx)
+    if conditioning_key == "hybrid":
+        xc = jnp.concatenate([x] + list(c_concat), axis=-1)
+        cc = jnp.concatenate(list(c_crossattn), axis=1)
+        return apply(params, cfg, xc, t, context=cc, qctx=qctx)
+    # adm: class ids -> label_emb added to the time embedding
+    return apply(params, cfg, x, t, y=c_crossattn[0], qctx=qctx)
+
+
 # ---------------------------------------------------------------------------
 # Quantizable call-site inventory (module order)
 # ---------------------------------------------------------------------------

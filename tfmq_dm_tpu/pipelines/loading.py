@@ -97,8 +97,9 @@ def load_ldm_checkpoint(path: str, task: TaskConfig,
     if task.cond == "text":
         clip_sd = _strip_prefix(sd, "cond_stage_model.transformer.")
         if clip_sd:
+            ccfg = task.clip or clip_text.vit_l_14_config()
             cond_params = convert_state_dict(
-                clip_sd, clip_text.iter_layers(clip_text.vit_l_14_config()))
+                clip_sd, clip_text.iter_layers(ccfg))
     elif task.cond == "class":
         import jax.numpy as jnp
         import numpy as np
