@@ -1,0 +1,155 @@
+"""FP-vs-quantized quality gate: SQNR / PSNR numbers produced by this
+repo on the BASELINE configs' model shapes.
+
+No pretrained checkpoint is reachable in this zero-egress environment
+(pipelines/ckpt_util.py registry is egress-gated), so real-FID parity
+cannot be measured here; this harness quantifies quantization fidelity
+instead — the numeric agreement between the calibrated quantized model
+and its FP counterpart under the REAL pipeline (cali-data harvest ->
+TIAR reconstruction -> FSC -> deployed int kernels -> full sampler
+rollout on identical seeds):
+
+- per-step UNet-output SQNR over the sampler trajectory (how faithfully
+  the quantized net reproduces FP epsilon predictions);
+- final-sample PSNR between quantized and FP rollouts.
+
+With a checkpoint present, the same flags produce the numbers on real
+weights, and utils/fid.fid_from_npz closes the loop to FID.
+
+Usage: python scripts/quality_gate.py [task] [--wq N] [--iters N]
+           [--n-cali N] [--batch N] [--json PATH]
+"""
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from tfmq_dm_tpu.configs.tasks import get_task
+from tfmq_dm_tpu.models import ddim_unet, ldm_unet
+from tfmq_dm_tpu.pipelines import ptq
+from tfmq_dm_tpu.quant.calibrate import cali_model
+from tfmq_dm_tpu.quant.context import QuantCtx
+from tfmq_dm_tpu.quant.fsc import slice_fsc
+from tfmq_dm_tpu.quant.recon import ReconHP
+from tfmq_dm_tpu.utils.metrics import psnr, sqnr_db
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("task", nargs="?", default="cifar10")
+    ap.add_argument("--wq", type=int, default=4)
+    ap.add_argument("--aq", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=1000,
+                    help="recon iters/unit (reference budget: 20000)")
+    ap.add_argument("--n-cali", type=int, default=32,
+                    help="cali samples per timestep (reference: 256)")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    task = get_task(args.task)
+    key = jax.random.PRNGKey(0)
+
+    if task.family == "ddim":
+        params = ddim_unet.init_params(jax.random.PRNGKey(7), task.unet)
+
+        def fp_apply(x, t, c=None, qctx=None):
+            return ddim_unet.apply(params, task.unet, x, t, qctx)
+        res = task.unet.resolution
+        chans = task.unet.in_channels
+    else:
+        params = ldm_unet.init_params(jax.random.PRNGKey(7), task.unet)
+
+        def fp_apply(x, t, c=None, qctx=None):
+            return ldm_unet.apply(params, task.unet, x, t, context=c,
+                                  qctx=qctx)
+        res = task.unet.image_size
+        chans = task.unet.in_channels
+
+    qargs = ptq.QuantArgs(wq=args.wq, aq=args.aq, use_aq=True,
+                          w_sym=True, iters=args.iters,
+                          cali_save_path=None, seed=0)
+    adapter = ptq.build_adapter(task, qargs)
+
+    print(f"[{task.name}] harvesting cali data "
+          f"({args.n_cali}/step)...", file=sys.stderr)
+    key, k = jax.random.split(key)
+    w_cali, a_cali, cali_t = ptq.generate_cali_data(
+        task, lambda x, t, c: fp_apply(x, t, c), k,
+        n_per_t=args.n_cali, steps=args.steps)
+
+    print(f"[{task.name}] calibrating w{args.wq}a{args.aq} "
+          f"({args.iters} iters/unit)...", file=sys.stderr)
+    hp = ReconHP(iters=args.iters, batch_size=min(task.recon_batch,
+                                                  args.n_cali))
+    key, k = jax.random.split(key)
+    wstate, astate = cali_model(adapter, params, w_cali, a_cali, hp=hp,
+                                use_aq=True, key=k)
+
+    # rollouts on identical latents/seed
+    sampler_fn, _ = ptq.make_schedule(task, steps=args.steps)
+    key, kx, ks = jax.random.split(key, 3)
+    x0 = jax.random.normal(kx, (args.batch, res, res, chans))
+
+    def fp_model(x, t, step):
+        return fp_apply(x, t)
+
+    def q_model(x, t, step):
+        ast = slice_fsc(astate, step) if astate else {}
+        qctx = QuantCtx(adapter.policy, wstate=wstate, astate=ast,
+                        use_wq=True, use_aq=True, flash=True)
+        return fp_apply(x, t, qctx=qctx)
+
+    fp_last, (fp_xs, fp_ts) = jax.jit(
+        lambda x, k: sampler_fn(fp_model, x, k, collect="traj"))(x0, ks)
+    q_last, (q_xs, _) = jax.jit(
+        lambda x, k: sampler_fn(q_model, x, k, collect="traj"))(x0, ks)
+
+    # per-step UNet-output SQNR at the FP trajectory points (isolates
+    # the net's fidelity from trajectory drift); one scanned program,
+    # FSC group sliced by the traced step index as in inference
+    n_steps = int(np.asarray(fp_ts).shape[0])
+
+    @jax.jit
+    def eps_pairs(xs_all, ts_all):
+        def one(_, inp):
+            xs, ts, i = inp
+            return 0, (fp_model(xs, ts, i), q_model(xs, ts, i))
+        _, pairs = jax.lax.scan(one, 0,
+                                (xs_all, ts_all, jnp.arange(n_steps)))
+        return pairs
+
+    e_fp_all, e_q_all = eps_pairs(jnp.asarray(fp_xs),
+                                  jnp.asarray(fp_ts))
+    e_fp_all = np.asarray(e_fp_all)
+    e_q_all = np.asarray(e_q_all)
+    sqnrs = [sqnr_db(e_fp_all[i], e_q_all[i]) for i in range(n_steps)]
+    fp_img = np.clip(np.asarray(fp_last) * 0.5 + 0.5, 0, 1)
+    q_img = np.clip(np.asarray(q_last) * 0.5 + 0.5, 0, 1)
+    out = {
+        "task": task.name,
+        "setting": f"w{args.wq}a{args.aq}",
+        "recon_iters": args.iters,
+        "cali_per_step": args.n_cali,
+        "unet_sqnr_db_mean": round(float(np.mean(sqnrs)), 2),
+        "unet_sqnr_db_min": round(float(np.min(sqnrs)), 2),
+        "sample_psnr_db": round(psnr(fp_img, q_img), 2),
+        "traj_sqnr_db": round(sqnr_db(np.asarray(fp_xs),
+                                      np.asarray(q_xs)), 2),
+    }
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -16,3 +16,34 @@ import jax  # noqa: E402
 # "axon,cpu" at interpreter start; put it back to cpu-only for tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: `pytest -q` runs the fast tier (<~15 min on CPU);
+# `pytest --full` (or TFMQ_FULL_TESTS=1) adds the slow e2e tier.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="also run tests marked slow (heavy e2e: full calibration "
+             "pipelines, CLI subprocesses)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy e2e tier, opt in with --full or "
+                   "TFMQ_FULL_TESTS=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full") or os.environ.get("TFMQ_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (run with --full / TFMQ_FULL_TESTS=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

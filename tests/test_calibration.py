@@ -113,6 +113,7 @@ def test_reconstruction_reduces_loss(setup):
     assert "alpha" not in new_wstate["mid.block_1.temb_proj"]
 
 
+@pytest.mark.slow
 def test_tib_reconstruction(setup):
     params, adapter, w_cali, _ = setup
     wstate = init_weight_qparams(adapter.policy, params, scaler="mse")
@@ -132,6 +133,7 @@ def test_tib_reconstruction(setup):
     assert "temb.dense.0" not in new_wstate
 
 
+@pytest.mark.slow
 def test_fsc_and_quantized_sampling(setup):
     params, adapter, w_cali, a_cali = setup
     wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
@@ -159,6 +161,7 @@ def test_fsc_and_quantized_sampling(setup):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_cali_model_end_to_end_and_artifact_roundtrip(setup):
     params, adapter, w_cali, a_cali = setup
     hp = ReconHP(iters=10, batch_size=4)
@@ -186,6 +189,7 @@ def test_cali_model_end_to_end_and_artifact_roundtrip(setup):
         assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_fisher_reconstruction(setup):
     """FISHER_DIAG recon path: grads captured via output-override KL
     (GetLayerGrad semantics) and the weighted loss decreases."""
@@ -215,6 +219,7 @@ def ctx_shape_of(w_cali, unit, adapter, params, wstate):
     return (w_cali[0].shape[0],) + out.shape[1:]
 
 
+@pytest.mark.slow
 def test_resumable_reconstruction(setup, tmp_path):
     """Per-unit checkpointing: a second run skips completed units and
     reproduces the same wstate (the reference loses everything on crash,
@@ -237,6 +242,7 @@ def test_resumable_reconstruction(setup, tmp_path):
     np.testing.assert_allclose(a1, a2, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_host_offload_chunked_reconstruction(setup, monkeypatch):
     """Units whose cached I/O exceeds the device budget stream to host
     and run a chunked Adam schedule (the reference's keep_gpu=False,
@@ -258,6 +264,7 @@ def test_host_offload_chunked_reconstruction(setup, monkeypatch):
     assert ls[-5:].mean() < ls[:5].mean()
 
 
+@pytest.mark.slow
 def test_act_phase_reconstruction(setup):
     """The act phase (reconstruction.py:43-48): Adam on act deltas with
     cosine-annealed lr_delta, round-loss NONE. Deltas move, zps and
@@ -294,6 +301,7 @@ def test_act_phase_reconstruction(setup):
     assert ls[-5:].mean() <= ls[:5].mean() * 1.05
 
 
+@pytest.mark.slow
 def test_reconstruct_act_driver(setup):
     """Sequential act-phase pass over all units runs and returns a flat
     astate with every original site present."""

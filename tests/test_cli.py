@@ -78,6 +78,7 @@ def test_cli_ddim_cali_and_sample(tmp_path):
     assert "imgs/s" in r.stderr
 
 
+@pytest.mark.slow
 def test_cli_ddim_int_kernels(tmp_path):
     ckpt = str(tmp_path / "ddpm.pth")
     cali = str(tmp_path / "cali.npz")
@@ -95,6 +96,7 @@ def test_cli_ddim_int_kernels(tmp_path):
     assert len(os.listdir(os.path.join(out, "img"))) == 2
 
 
+@pytest.mark.slow
 def test_cli_ldm_fp_sampling(tmp_path):
     ckpt = str(tmp_path / "ldm.ckpt")
     _save_ldm_ckpt(ckpt)
@@ -105,6 +107,7 @@ def test_cli_ldm_fp_sampling(tmp_path):
     assert len(os.listdir(os.path.join(out, "img"))) == 2
 
 
+@pytest.mark.slow
 def test_cli_class_cond_cali_and_sample(tmp_path):
     ckpt = str(tmp_path / "cin.ckpt")
     _save_ldm_ckpt(ckpt, "tiny_cin")
@@ -122,6 +125,7 @@ def test_cli_class_cond_cali_and_sample(tmp_path):
     assert len(os.listdir(os.path.join(out, "img"))) == 2
 
 
+@pytest.mark.slow
 def test_cli_dp_sampling(tmp_path):
     """--dp N shards each sampling batch across a device mesh
     (pipelines/sampling.sample_fid mesh path) through the real CLI."""
@@ -155,6 +159,7 @@ def _save_tiny_sd_ckpt(path):
     torch.save({"state_dict": sd}, path)
 
 
+@pytest.mark.slow
 def test_cli_sd_text_cali_and_sample(tmp_path):
     """SD-shaped end to end: tiny text-conditioned task through the CLI
     (stub tokenizer), exercising PLMS + CFG + FSC calibration, then
@@ -179,3 +184,27 @@ def test_cli_sd_text_cali_and_sample(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert len(os.listdir(os.path.join(out, "img"))) == 2
     assert os.path.exists(os.path.join(out, "grid.png"))
+
+
+@pytest.mark.slow
+def test_cli_dp_calibration(tmp_path):
+    """--dp N during --cali runs mesh-sharded reconstruction (the
+    reference's --multi_gpu calibration) through the real CLI, and the
+    artifact samples correctly afterwards."""
+    ckpt = str(tmp_path / "ddpm.pth")
+    cali = str(tmp_path / "cali.npz")
+    _save_ddim_ckpt(ckpt)
+    env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    r = _run(["--task", "tiny_ddim", "--ckpt", ckpt, "--ptq", "--cali",
+              "--wq", "8", "--aq", "8", "--use_aq",
+              "--cali_save_path", cali, "--cali_iters", "4",
+              "--cali_n", "4", "--dp", "4"], env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "calibration mesh" in r.stderr
+    assert os.path.exists(cali)
+    out = str(tmp_path / "run")
+    r = _run(["--task", "tiny_ddim", "--ckpt", ckpt, "--ptq",
+              "--cali_ckpt", cali, "--use_aq", "-n", "2", "--batch", "2",
+              "--out", out])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert len(os.listdir(os.path.join(out, "img"))) == 2

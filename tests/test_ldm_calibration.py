@@ -93,6 +93,7 @@ def test_unit_fwd_matches_model(family):
 
 
 @pytest.mark.parametrize("family", ["ldm", "sd"])
+@pytest.mark.slow
 def test_cali_and_deploy_end_to_end(family):
     cfg, params, adapter, w_cali, a_cali, c = _mk(family)
     hp = ReconHP(iters=8, batch_size=4)

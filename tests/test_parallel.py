@@ -168,6 +168,7 @@ def test_dp_fisher_matches_single_device(setup):
     np.testing.assert_allclose(a1, a2, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_dp_recon_resume(setup, tmp_path):
     """resume_dir works under the mesh: a second run skips completed
     units and reproduces the same alphas."""
