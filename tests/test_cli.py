@@ -96,7 +96,6 @@ def test_cli_ddim_int_kernels(tmp_path):
     assert len(os.listdir(os.path.join(out, "img"))) == 2
 
 
-@pytest.mark.slow
 def test_cli_ldm_fp_sampling(tmp_path):
     ckpt = str(tmp_path / "ldm.ckpt")
     _save_ldm_ckpt(ckpt)
@@ -125,7 +124,6 @@ def test_cli_class_cond_cali_and_sample(tmp_path):
     assert len(os.listdir(os.path.join(out, "img"))) == 2
 
 
-@pytest.mark.slow
 def test_cli_dp_sampling(tmp_path):
     """--dp N shards each sampling batch across a device mesh
     (pipelines/sampling.sample_fid mesh path) through the real CLI."""

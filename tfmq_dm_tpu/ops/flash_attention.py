@@ -286,36 +286,39 @@ def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, vs_ref,
     if quant_w:
         wnb, wpb = w_range
 
-        def fill(kb, carry):
-            # online (m, l) tracked during the fill pass; see
-            # _quant_kernel for the pass-structure rationale
-            m, l = carry
+        # e-scratch two-pass structure as in _quant_kernel: fill caches
+        # e = exp(s - m_running) with per-block maxes live as SSA
+        # values; pv rebases with one row-scalar factor — no second
+        # full-width exp sweep
+        m = jnp.full((bm, 1), NEG_INF, jnp.float32)
+        l = jnp.zeros((bm, 1), jnp.float32)
+        m_blk = []
+        for kb in range(nk):
             s = scores(kb)
-            s_scr[:, pl.ds(kb * block_k, block_k)] = s
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new),
-                                                 axis=-1, keepdims=True)
-            return m_new, l
-
-        m0 = jnp.full((bm, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((bm, 1), jnp.float32)
-        m, l = jax.lax.fori_loop(0, nk, fill, (m0, l0))
+            e = jnp.exp(s - m_new)
+            s_scr[:, kb * block_k:(kb + 1) * block_k] = e
+            l = l * jnp.exp(m - m_new) + jnp.sum(e, axis=-1,
+                                                 keepdims=True)
+            m = m_new
+            m_blk.append(m_new)
         inv = 1.0 / (l * dw)   # one divide per row (see _quant_kernel)
 
-        def pv(kb, acc):
-            s = s_scr[:, pl.ds(kb * block_k, block_k)]
+        acc = jnp.zeros((bm, q8.shape[1]), jnp.float32)
+        for kb in range(nk):
+            e = s_scr[:, kb * block_k:(kb + 1) * block_k]
+            f = jnp.exp(m_blk[kb] - m) * inv
             # quantize to centered int8 levels in registers; the int8
             # MXU matmul reads the converted block directly
-            p_q = jnp.clip(jnp.round(jnp.exp(s - m) * inv) + zw,
-                           wnb, wpb)
+            p_q = jnp.clip(jnp.round(e * f) + zw, wnb, wpb)
             p8 = (p_q - 128.0).astype(jnp.int8)
             psum = jnp.sum(p8.astype(jnp.int32), axis=-1,
                            keepdims=True).astype(jnp.float32)
-            v8 = v_ref[0, pl.ds(kb * block_k, block_k), :]
+            v8 = v_ref[0, kb * block_k:(kb + 1) * block_k, :]
             pvi = jax.lax.dot_general(
                 p8, v8, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
-            vsum = vs_ref[0, pl.ds(kb, 1), :]              # (1, d)
+            vsum = vs_ref[0, kb:kb + 1, :]                 # (1, d)
             # Σ_j dw·dv·(p_q - zw)(v_q - zv), with p8 = p_q - 128 and
             # v8 = v_q - 128:  (p8 + (128-zw))·(v8 - zv')
             #  = p8·v8 - zv'·Σ_j p8 + (128-zw)·Σ_j v8
@@ -323,10 +326,7 @@ def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, vs_ref,
             # (masked/padded columns have p_q == zw, contributing 0)
             corr = (pvi - zv_c * psum + (128.0 - zw) * vsum
                     - (128.0 - zw) * zv_c * float(block_k))
-            return acc + dw * dv * corr
-
-        acc = jax.lax.fori_loop(0, nk, pv,
-                                jnp.zeros((bm, q8.shape[1]), jnp.float32))
+            acc = acc + dw * dv * corr
         o_ref[0] = acc.astype(out_dtype)
     else:
         # no softmax quant: probabilities stay fp; PV runs int8 between
