@@ -160,3 +160,35 @@ def test_deployed_matches_fake_quant_wide_bits_w16a16():
     got, sim = np.asarray(got), np.asarray(sim)
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got, sim, atol=2e-4, rtol=1e-4)
+
+
+def test_int4_serving_deployment(setup):
+    """deploy_weights(int4_serving=True) packs 4-bit conv weights and
+    aq'd linears; the deployed forward stays close to the fake-quant
+    sim (bf16 weight-dequant rounding is the only difference; on CPU
+    the conv takes the dequant_int4_conv fallback — the Pallas tap-GEMM
+    kernel is exactness-tested in test_pallas_kernels)."""
+    params, adapter, wstate, astate = setup
+    from tfmq_dm_tpu.quant.context import QuantCtx
+    from tfmq_dm_tpu.quant.fsc import slice_fsc
+
+    # rebuild 4-bit weight state on the same adapter topology
+    adapter4 = ddim_units.build_adapter(CFG, w_bits=4, a_bits=8)
+    wstate4 = init_weight_qparams(adapter4.policy, params,
+                                  scaler="minmax")
+    deployed = deploy_weights(adapter4.policy, params, wstate4,
+                              int4_serving=True)
+    kinds = {type(v).__name__ for v in deployed.values()}
+    assert "Int4ConvWeight" in kinds
+    ast = slice_fsc(astate, 0)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+    t = jnp.zeros((2,), jnp.int32)
+
+    sim_ctx = QuantCtx(adapter4.policy, wstate=wstate4, astate=ast,
+                       use_wq=True, use_aq=True)
+    sim = ddim_unet.apply(params, CFG, x, t, sim_ctx)
+    dep_ctx = QuantCtx(adapter4.policy, astate=ast, use_wq=True,
+                       use_aq=True, deploy=deployed)
+    dep = ddim_unet.apply(params, CFG, x, t, dep_ctx)
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(sim),
+                               atol=0.05, rtol=0.05)

@@ -142,3 +142,58 @@ def test_gn_swish_quant_int8_matches_unfused():
         assert diff.max() <= 1, (B, H, W, C, diff.max())
         assert (diff > 0).mean() < 1e-4
         assert float(got_zc) == float(ref_zc)
+
+
+def test_int4_conv2d_dequant_matches_xla():
+    """Packed-int4 tap-GEMM conv (interpret) == XLA conv on the same
+    bf16-dequantized weights (f32 dequant, one rounding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfmq_dm_tpu.ops.pallas_kernels import (int4_conv2d_dequant,
+                                                pack_int4)
+
+    rng = np.random.RandomState(0)
+    B, H, W, Cin, Cout, KH, KW = 2, 8, 8, 16, 24, 3, 3
+    npad = 256
+    w_q = rng.randint(-8, 8, (KH * KW, Cin, npad)).astype(np.int8)
+    w_q[:, :, Cout:] = 0
+    delta = np.ones(npad, np.float32)
+    delta[:Cout] = rng.rand(Cout).astype(np.float32) * 0.1 + 0.05
+    zp_c = np.zeros(npad, np.float32)
+    zp_c[:Cout] = rng.randint(-4, 4, Cout)
+    packed = jnp.stack([pack_int4(w_q[t], block_n=256)
+                        for t in range(KH * KW)])
+    x = rng.randn(B, H, W, Cin).astype(np.float32)
+    bias = np.zeros(npad, np.float32)
+    bias[:Cout] = rng.randn(Cout) * 0.1
+
+    import tfmq_dm_tpu.ops.pallas_kernels as PK
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def icall(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(PK.pl, "pallas_call", icall):
+        out = int4_conv2d_dequant(
+            jnp.asarray(x), packed, jnp.asarray(delta),
+            jnp.asarray(zp_c), KH, KW, bias=jnp.asarray(bias),
+            block_n=256)
+    out = np.asarray(out)[:, :, :, :Cout]
+
+    wd = (delta[None, None, :] * (w_q.astype(np.float32)
+                                  - zp_c[None, None, :]))
+    wd = wd.reshape(KH, KW, Cin, npad)[:, :, :, :Cout]
+    wd = np.asarray(jnp.asarray(wd).astype(jnp.bfloat16)
+                    .astype(jnp.float32))
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(wd, jnp.bfloat16),
+        (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32))
+    ref = ref + bias[None, None, None, :Cout]
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)

@@ -67,6 +67,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--int-kernels", dest="int_kernels",
                    action="store_true",
                    help="deploy real int8 MXU kernels")
+    p.add_argument("--int4-serving", dest="int4_serving",
+                   action="store_true",
+                   help="small-batch latency mode: 4-bit conv/linear "
+                        "weights stay nibble-packed in HBM (half the "
+                        "weight bandwidth; needs --int-kernels --wq 4)")
     p.add_argument("--deploy_dtype", choices=("float32", "bfloat16"),
                    default="float32",
                    help="carrier dtype between deployed int8 ops: "
@@ -163,6 +168,9 @@ def main(argv=None) -> int:
     if args.interpolation and (args.dp > 1 or args.tp > 1):
         logger.warning("--dp/--tp are ignored in --interpolation mode "
                        "(single-device slerp trajectory)")
+    if args.int4_serving and not (args.ptq and args.int_kernels):
+        logger.warning("--int4-serving has no effect without "
+                       "--ptq --int-kernels; running the default path")
 
     # honor JAX_PLATFORMS even when a platform plugin (e.g. the axon TPU
     # sitecustomize) force-updated jax_platforms at interpreter start
@@ -272,7 +280,11 @@ def main(argv=None) -> int:
     deploy_dtype = None
     if args.ptq and args.int_kernels:
         from .quant.deploy import specialize_maps
-        deployed = deploy_weights(adapter.policy, params, wstate)
+        if args.int4_serving and args.wq != 4:
+            logger.warning("--int4-serving has no effect with --wq %d "
+                           "(only 4-bit weights pack)", args.wq)
+        deployed = deploy_weights(adapter.policy, params, wstate,
+                                  int4_serving=args.int4_serving)
         res = (task.unet.resolution if task.family == "ddim"
                else task.unet.image_size)
         ex = (jnp.zeros((1, res, res, task.unet.in_channels)),

@@ -454,3 +454,86 @@ def gn_swish_quant_int8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                       do_swish=do_swish, interpret=interpret)
     return out.reshape(bsz, h, w, c), \
         (jnp.asarray(zp, jnp.float32) - off).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# packed-int4 conv: weights stay packed in HBM, tap-wise GEMM accumulate
+# ---------------------------------------------------------------------------
+
+def _int4_conv_kernel(x_ref, wp_ref, dly_ref, zpc_ref, b_ref, o_ref, *,
+                      kh, kw, h, w, out_dtype):
+    """One (batch row, cout tile) per grid cell. x_ref is the PRE-padded
+    image (1, h+kh-1, w+kw-1, cin); the conv is Σ_taps shift(x) @ W_tap
+    — kh*kw GEMMs over the cin contraction, each tap's weights unpacked
+    from nibbles and dequantized to bf16 in VMEM (packed bytes are all
+    that crosses HBM: half the int8 weight bandwidth)."""
+    nb_, cout_t = dly_ref.shape
+    acc = jnp.zeros((h, w, cout_t), jnp.float32)
+    dly = dly_ref[0]
+    zpc = zpc_ref[0]
+    for t in range(kh * kw):
+        i, j = divmod(t, kw)
+        wq = _unpack_int4(wp_ref[t]).astype(jnp.float32)
+        # dequant in f32, ONE rounding to the bf16 operand (a bf16
+        # dequant chain double-rounds through the pre-rounded delta)
+        wd = ((wq - zpc) * dly).astype(jnp.bfloat16)  # (cin, cout_t)
+        xw = x_ref[0, i:i + h, j:j + w, :]
+        acc = acc + jax.lax.dot_general(
+            xw.astype(jnp.bfloat16), wd, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[0] = (acc + b_ref[0]).astype(out_dtype)
+
+
+def int4_conv2d_dequant(x: jax.Array, w_packed: jax.Array,
+                        delta_w: jax.Array, zp_wc: jax.Array,
+                        kh: int, kw: int,
+                        bias: Optional[jax.Array] = None,
+                        pads=((1, 1), (1, 1)),
+                        block_n: int = 256,
+                        out_dtype=jnp.float32) -> jax.Array:
+    """Stride-1 conv over NHWC x with packed-int4 weights:
+    w_packed (kh*kw, cin, Np//2) from pack_int4 per tap (same block_n),
+    delta_w/zp_wc (Np,) per-channel (zp centered at 8). Output channels
+    beyond the real cout must carry delta=1/zp_c=0 padding (they are
+    sliced off by the caller)."""
+    b_, h, w, cin = x.shape
+    npk = w_packed.shape[2] * 2
+    bn = min(block_n, npk)
+    xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    ho = hp - kh + 1
+    wo = wp - kw + 1
+    if bias is None:
+        bias = jnp.zeros((npk,), jnp.float32)
+    grid = (b_, _cdiv(npk, bn))
+    kern = functools.partial(_int4_conv_kernel, kh=kh, kw=kw, h=ho,
+                             w=wo, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, hp, wp, cin), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh * kw, cin, bn // 2),
+                         lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ho, wo, bn),
+                               lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_, ho, wo, npk), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_ * ho * wo * cin * npk * kh * kw,
+            bytes_accessed=(b_ * hp * wp * cin * 2
+                            + kh * kw * cin * npk // 2
+                            + b_ * ho * wo * npk * 2),
+            transcendentals=0),
+    )(xp, w_packed,
+      delta_w.reshape(1, npk).astype(jnp.float32),
+      zp_wc.reshape(1, npk).astype(jnp.float32),
+      bias.reshape(1, npk).astype(jnp.float32))

@@ -46,6 +46,65 @@ jax.tree_util.register_dataclass(
     meta_fields=("k", "n", "block_n"))
 
 
+@dataclasses.dataclass
+class Int4ConvWeight:
+    """Packed 4-bit conv weight (small-batch serving): per-tap nibble
+    packing so the conv reads half the int8 weight bytes; executed by
+    ops/pallas_kernels.int4_conv2d_dequant as kh*kw tap GEMMs with
+    f32-dequant-to-bf16 in VMEM. Stride-1 SAME convs only — others
+    (and CPU) run the XLA fallback on dequantized weights."""
+
+    w_packed: jax.Array     # (kh*kw, cin, Np//2) int8 nibble pairs
+    delta: jax.Array        # (Np,) per-channel scale (pad: 1.0)
+    zp_c: jax.Array         # (Np,) centered zero point (pad: 0)
+    kh: int
+    kw: int
+    cin: int
+    n: int                  # real (unpadded) output channels
+    block_n: int
+
+
+jax.tree_util.register_dataclass(
+    Int4ConvWeight, data_fields=("w_packed", "delta", "zp_c"),
+    meta_fields=("kh", "kw", "cin", "n", "block_n"))
+
+
+def _pack_conv_int4(iw: int_ops.IntWeight) -> Int4ConvWeight:
+    from ..ops.pallas_kernels import pack_int4
+    w_q = np.asarray(iw.w_q)                 # (kh, kw, cin, n) centered
+    kh, kw, cin, n = w_q.shape
+    npad = -(-n // PACK_BLOCK_N) * PACK_BLOCK_N
+    w_q = np.pad(w_q, ((0, 0), (0, 0), (0, 0), (0, npad - n)))
+    delta = np.pad(np.asarray(iw.delta), (0, npad - n),
+                   constant_values=1.0)
+    zp_c = np.pad(np.asarray(iw.zp_c), (0, npad - n))
+    packed = jnp.stack([pack_int4(w_q.reshape(kh * kw, cin, npad)[t],
+                                  block_n=PACK_BLOCK_N)
+                        for t in range(kh * kw)])
+    return Int4ConvWeight(w_packed=packed,
+                          delta=jnp.asarray(delta, jnp.float32),
+                          zp_c=jnp.asarray(zp_c, jnp.float32),
+                          kh=kh, kw=kw, cin=cin, n=n,
+                          block_n=PACK_BLOCK_N)
+
+
+def dequant_int4_conv(iw: Int4ConvWeight, dtype=jnp.float32) -> jax.Array:
+    """XLA-side unpack + dequant to full HWIO weights (stride!=1 / CPU
+    fallback)."""
+    from ..ops.pallas_kernels import _unpack_int4
+    half = iw.block_n // 2
+    npk = iw.w_packed.shape[2] * 2
+    taps = []
+    for t in range(iw.kh * iw.kw):
+        tiles = [_unpack_int4(iw.w_packed[t, :, j * half:(j + 1) * half])
+                 for j in range(npk // iw.block_n)]
+        taps.append(jnp.concatenate(tiles, axis=1))
+    w_q = jnp.stack(taps).astype(jnp.float32)
+    w = iw.delta[None, None, :] * (w_q - iw.zp_c[None, None, :])
+    w = w.reshape(iw.kh, iw.kw, iw.cin, npk)[:, :, :, :iw.n]
+    return w.astype(dtype)
+
+
 def _pack_linear_int4(iw: int_ops.IntWeight) -> Int4Weight:
     from ..ops.pallas_kernels import pack_int4
     w_q = np.asarray(iw.w_q)           # (K, N) centered codes in [-8, 7]
@@ -88,11 +147,18 @@ def cast_fp_params(params, dtype=jnp.bfloat16):
 
 
 def deploy_weights(policy: QuantPolicy, params, wstate: Dict, *,
-                   pack_int4_linears: bool = True) -> Dict[str, object]:
+                   pack_int4_linears: bool = True,
+                   int4_serving: bool = False) -> Dict[str, object]:
     """Offline: quantize every wq-enabled layer's weights to centered
     integers using the calibrated (delta, zp[, alpha]). 4-bit LINEAR
     weights are additionally nibble-packed (Int4Weight) so the deployed
-    model reads half the weight bytes."""
+    model reads half the weight bytes.
+
+    ``int4_serving``: small-batch latency mode — ALSO pack 4-bit conv
+    weights (Int4ConvWeight -> tap-GEMM Pallas kernel) and 4-bit
+    act-quantized linears (their acts fake-quant elementwise; the GEMM
+    reads packed nibbles). At compute-bound batch sizes the int8 MXU
+    path wins instead, hence the flag."""
     deployed = {}
     for name in policy.weight_layers():
         pol = policy.get(name)
@@ -118,12 +184,16 @@ def deploy_weights(policy: QuantPolicy, params, wstate: Dict, *,
         iw = int_ops.quantize_weight_int(
             params[name]["w"], st["delta"], st["zp"], pol.w_cfg,
             alpha=st.get("alpha"))
-        # pack only weight-only sites: with act quant on, the int8 MXU
-        # path (full int8 matmul) beats bf16-dequant at batch sizes
-        # where the GEMM is compute-bound
+        # pack only weight-only sites by default: with act quant on, the
+        # int8 MXU path (full int8 matmul) beats bf16-dequant at batch
+        # sizes where the GEMM is compute-bound; int4_serving flips the
+        # trade for bandwidth-bound small-batch serving
         if (pack_int4_linears and pol.w_cfg.bits == 4
-                and iw.w_q.ndim == 2 and not pol.aq):
+                and iw.w_q.ndim == 2 and (int4_serving or not pol.aq)):
             deployed[name] = _pack_linear_int4(iw)
+        elif (int4_serving and pol.w_cfg.bits == 4
+                and iw.w_q.ndim == 4):
+            deployed[name] = _pack_conv_int4(iw)
         else:
             deployed[name] = iw
     return deployed

@@ -42,6 +42,28 @@ def qconv2d(qctx: Optional[QuantCtx], name: str, x: jax.Array,
                 x = fake_quant(x, ast["delta"], ast["zp"], pol.a_cfg)
             return fnn.conv2d(x, iw.w.astype(out_dtype), b,
                               stride=stride, padding=padding)
+        from .deploy import Int4ConvWeight, dequant_int4_conv
+        if isinstance(iw, Int4ConvWeight):
+            # packed-int4 serving path: acts fake-quant elementwise (if
+            # quantized), the conv reads nibble-packed weights (half
+            # the int8 weight bandwidth) via the tap-GEMM kernel
+            if ast is not None:
+                from .quantizer import fake_quant
+                x = fake_quant(x, ast["delta"], ast["zp"], pol.a_cfg)
+            if stride == 1 and padding in ("SAME", "VALID") and \
+                    jax.default_backend() == "tpu":
+                from ..ops.pallas_kernels import int4_conv2d_dequant
+                pads = _same_pads(iw.kh, iw.kw) if padding == "SAME" \
+                    else ((0, 0), (0, 0))
+                bias = None if b is None else jnp.pad(
+                    b, (0, iw.delta.shape[0] - iw.n))
+                out = int4_conv2d_dequant(
+                    x.astype(jnp.bfloat16), iw.w_packed, iw.delta,
+                    iw.zp_c, iw.kh, iw.kw, bias=bias, pads=pads,
+                    block_n=iw.block_n, out_dtype=out_dtype)
+                return out[..., :iw.n]
+            return fnn.conv2d(x, dequant_int4_conv(iw, out_dtype), b,
+                              stride=stride, padding=padding)
         kh, kw_ = iw.w_q.shape[:2]
         pads = _same_pads(kh, kw_) if padding == "SAME" else \
             ((0, 0), (0, 0)) if padding == "VALID" else tuple(padding)
