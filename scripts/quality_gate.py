@@ -22,7 +22,11 @@ Usage: python scripts/quality_gate.py [task] [--wq N] [--iters N]
 
 import argparse
 import json
+import logging
 import sys
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s: %(message)s")
 
 import jax
 import jax.numpy as jnp
