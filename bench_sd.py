@@ -1,12 +1,19 @@
-"""SD-scale benchmark: Stable Diffusion v1.4 UNet denoise step, w8a8
-deployed int8 vs bf16 FP, one chip. This is the north-star setting
-(BASELINE.md: "w4a8 SD v1.4 512x512 ... >=2x bf16 img/s/chip"); the
-driver-run `bench.py` keeps the fast CIFAR-10 metric, this script is the
-big-model measurement (first run compiles ~minutes through the remote
-relay; cached afterwards).
+"""SD-scale benchmark: Stable Diffusion v1.4 UNet denoise step,
+deployed integer kernels vs bf16 FP, one chip. This is the north-star
+setting (BASELINE.md: "w4a8 SD v1.4 512x512 ... >=2x bf16 img/s/chip");
+the driver-run `bench.py` keeps the fast CIFAR-10 metric, this script is
+the big-model measurement (first run compiles ~minutes through the
+remote relay; cached afterwards).
 
-Usage: python bench_sd.py [batch]   (batch = CFG-doubled rows, default 8)
-Prints one JSON line like bench.py.
+Measures, at the requested batch:
+  - bf16 FP baseline
+  - w8a8 deployed (int8 MXU convs/linears, sym grids)
+  - w4a8 deployed, default mode (the int8 kernels execute 4-bit codes)
+  - w4a8 deployed, --int4-serving mode (nibble-packed conv+linear
+    weights, half the int8 weight bytes — the small-batch latency mode)
+
+Usage: python bench_sd.py [batch] [--skip-int4]
+Prints one JSON line like bench.py with the w4a8 number as the metric.
 """
 
 import json
@@ -55,7 +62,9 @@ def main():
     from tfmq_dm_tpu.quant.fsc import _fsc_init
     from tfmq_dm_tpu.quant.recon import init_weight_qparams
 
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    b = int(args[0]) if args else 8
+    skip_int4 = "--skip-int4" in sys.argv
     cfg = ldm_unet.sd_v1_config()
     params = ldm_unet.init_params(jax.random.PRNGKey(0), cfg)
     x = jax.random.normal(jax.random.PRNGKey(1), (b, 64, 64, 4))
@@ -69,34 +78,54 @@ def main():
             context=cc.astype(jnp.bfloat16)).astype(jnp.float32),
         params_bf16, x, t, c, b)
 
-    # symmetric weight grids: deployment default (see bench.py note)
-    adapter = ldm_units.build_adapter(cfg, w_bits=8, a_bits=8,
-                                      use_aq=True, w_sym=True)
-    wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
-    astate, _ = _fsc_init(adapter, "minmax", params, wstate,
-                          (x[:2], t[:2], c[:2]))
-    astate = jax.tree.map(lambda a: a[None], astate)  # 1 FSC group
-    deployed = deploy_weights(adapter.policy, params, wstate)
-    deployed = specialize_maps(adapter, params, deployed,
-                               example_args=(x[:1], t[:1], c[:1]),
-                               use_aq=True)
     # fast-deploy carriers: FP-fallback layers + glue ops run bf16
     params_q = cast_fp_params(params)
 
-    def q_step(bundle, xx, tt, cc):
-        p, dep, ast = bundle
-        fn = make_deployed_model_fn(adapter, p, dep, ast, use_aq=True,
-                                    act_dtype=jnp.bfloat16)
-        return fn(xx.astype(jnp.bfloat16), tt, 0,
-                  cc.astype(jnp.bfloat16)).astype(jnp.float32)
+    def quantized_tp(w_bits: int, int4_serving: bool = False) -> float:
+        # symmetric weight grids: deployment default (see bench.py note)
+        adapter = ldm_units.build_adapter(cfg, w_bits=w_bits, a_bits=8,
+                                          use_aq=True, w_sym=True)
+        wstate = init_weight_qparams(adapter.policy, params,
+                                     scaler="minmax")
+        astate, _ = _fsc_init(adapter, "minmax", params, wstate,
+                              (x[:2], t[:2], c[:2]))
+        astate = jax.tree.map(lambda a: a[None], astate)  # 1 FSC group
+        deployed = deploy_weights(adapter.policy, params, wstate,
+                                  int4_serving=int4_serving)
+        deployed = specialize_maps(adapter, params, deployed,
+                                   example_args=(x[:1], t[:1], c[:1]),
+                                   use_aq=True)
 
-    q_tp = _steps_per_sec(q_step, (params_q, deployed, astate), x, t, c, b)
+        def q_step(bundle, xx, tt, cc):
+            p, dep, ast = bundle
+            fn = make_deployed_model_fn(adapter, p, dep, ast,
+                                        use_aq=True,
+                                        act_dtype=jnp.bfloat16)
+            return fn(xx.astype(jnp.bfloat16), tt, 0,
+                      cc.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        return _steps_per_sec(q_step, (params_q, deployed, astate),
+                              x, t, c, b)
+
+    q8_tp = quantized_tp(8)
+    q4_tp = quantized_tp(4)
+    extra = {
+        "batch": b,
+        "w8a8_steps_per_sec": round(q8_tp, 2),
+        "w8a8_vs_baseline": round(q8_tp / fp_tp, 4),
+        "bf16_fp_steps_per_sec": round(fp_tp, 2),
+    }
+    if not skip_int4:
+        q4s_tp = quantized_tp(4, int4_serving=True)
+        extra["w4a8_int4_serving_steps_per_sec"] = round(q4s_tp, 2)
+        extra["w4a8_int4_serving_vs_baseline"] = round(q4s_tp / fp_tp, 4)
 
     print(json.dumps({
-        "metric": "sd_v14_unet_w8a8_denoise_steps_per_sec_per_chip",
-        "value": round(q_tp, 2),
+        "metric": "sd_v14_unet_w4a8_denoise_steps_per_sec_per_chip",
+        "value": round(q4_tp, 2),
         "unit": "img-denoise-steps/s",
-        "vs_baseline": round(q_tp / fp_tp, 4),
+        "vs_baseline": round(q4_tp / fp_tp, 4),
+        "extra": extra,
     }))
 
 

@@ -197,3 +197,13 @@ def test_int4_conv2d_dequant_matches_xla():
         preferred_element_type=jnp.float32))
     ref = ref + bias[None, None, None, :Cout]
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    # row-blocked grid (block_h < H -> multiple output-row blocks per
+    # image; SD-scale shapes rely on this to fit scoped VMEM)
+    with mock.patch.object(PK.pl, "pallas_call", icall):
+        out_rb = int4_conv2d_dequant(
+            jnp.asarray(x), packed, jnp.asarray(delta),
+            jnp.asarray(zp_c), KH, KW, bias=jnp.asarray(bias),
+            block_n=256, block_h=4)
+    np.testing.assert_allclose(np.asarray(out_rb)[:, :, :, :Cout], ref,
+                               atol=2e-5, rtol=2e-5)

@@ -82,6 +82,22 @@ def build_argparser() -> argparse.ArgumentParser:
     # sampling
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--eta", type=float, default=None)
+    # general DPM-Solver configuration (tasks with sampler='dpm'; the
+    # reference surface dpm_solver.py:965-1113 beyond the entry-flow
+    # default of multistep order-2 dpmsolver++ time_uniform)
+    p.add_argument("--dpm_order", type=int, default=None,
+                   choices=(1, 2, 3))
+    p.add_argument("--dpm_method", default=None,
+                   choices=("multistep", "singlestep",
+                            "singlestep_fixed", "adaptive"))
+    p.add_argument("--dpm_skip", default=None,
+                   choices=("time_uniform", "logSNR",
+                            "time_quadratic"))
+    p.add_argument("--dpm_algorithm", default=None,
+                   choices=("dpmsolver++", "dpmsolver"))
+    p.add_argument("--dpm_solver_type", default=None,
+                   choices=("dpm_solver", "taylor"))
+    p.add_argument("--dpm_denoise_to_zero", action="store_true")
     p.add_argument("--scale", type=float, default=None,
                    help="classifier-free guidance scale")
     p.add_argument("-n", "--num_images", type=int, default=64)
@@ -172,6 +188,14 @@ def main(argv=None) -> int:
         logger.warning("--int4-serving has no effect without "
                        "--ptq --int-kernels; running the default path")
 
+    dpm_cfg = {k: v for k, v in (
+        ("order", args.dpm_order), ("method", args.dpm_method),
+        ("skip_type", args.dpm_skip),
+        ("algorithm_type", args.dpm_algorithm),
+        ("solver_type", args.dpm_solver_type),
+        ("denoise_to_zero", args.dpm_denoise_to_zero or None),
+    ) if v is not None} or None
+
     # honor JAX_PLATFORMS even when a platform plugin (e.g. the axon TPU
     # sitecustomize) force-updated jax_platforms at interpreter start
     plat = os.environ.get("JAX_PLATFORMS")
@@ -238,7 +262,7 @@ def main(argv=None) -> int:
         w_cali, a_cali, cali_t = ptq.generate_cali_data(
             task, lambda x, t, c: fp_apply(x, t, c), k,
             n_per_t=n_per_t, context=ctx, uncond=uc, cfg_scale=scale,
-            steps=args.timesteps)
+            steps=args.timesteps, dpm_cfg=dpm_cfg)
         mesh = None
         if args.dp > 1:
             # the reference's --multi_gpu calibration
@@ -260,16 +284,25 @@ def main(argv=None) -> int:
         return 0
 
     # ---- build the (possibly quantized) per-step model fn ----
+    if dpm_cfg and task.sampler != "dpm":
+        logger.warning("--dpm_* flags are ignored: task %s uses the "
+                       "%s sampler", task.name, task.sampler)
     sampler_fn, sample_t = ptq.make_schedule(task, steps=args.timesteps,
-                                             eta=args.eta)
+                                             eta=args.eta,
+                                             dpm_cfg=dpm_cfg)
     wstate = astate = None
     group_of_step = None
     if args.ptq:
         assert args.cali_ckpt, "--cali_ckpt required with --ptq sampling"
         wstate, astate, meta = load_cali_model(args.cali_ckpt)
         if astate is not None and "cali_t" in meta:
-            group_of_step = group_of_step_from_t(
-                np.asarray(meta["cali_t"]), np.asarray(sample_t))
+            if sample_t is None:  # adaptive DPM: data-dependent times
+                logger.warning("adaptive DPM-Solver has no static step "
+                               "times; FSC uses calibration group 0 "
+                               "for every eval")
+            else:
+                group_of_step = group_of_step_from_t(
+                    np.asarray(meta["cali_t"]), np.asarray(sample_t))
 
     n = args.num_images
     ctx = uc = None

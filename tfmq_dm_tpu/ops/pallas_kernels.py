@@ -461,14 +461,19 @@ def gn_swish_quant_int8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _int4_conv_kernel(x_ref, wp_ref, dly_ref, zpc_ref, b_ref, o_ref, *,
-                      kh, kw, h, w, out_dtype):
-    """One (batch row, cout tile) per grid cell. x_ref is the PRE-padded
-    image (1, h+kh-1, w+kw-1, cin); the conv is Σ_taps shift(x) @ W_tap
-    — kh*kw GEMMs over the cin contraction, each tap's weights unpacked
-    from nibbles and dequantized to bf16 in VMEM (packed bytes are all
-    that crosses HBM: half the int8 weight bandwidth)."""
+                      kh, kw, bh, w, out_dtype):
+    """One (batch row, output-row block, cout tile) per grid cell.
+    x_ref is the PRE-padded image (1, H+kh-1, w+kw-1, cin) — resident
+    across the row-block axis (its index map ignores it), so only the
+    f32 accumulator and output tile pay per-block VMEM; the conv is
+    Σ_taps shift(x) @ W_tap — kh*kw GEMMs over the cin contraction,
+    each tap's weights unpacked from nibbles and dequantized to bf16 in
+    VMEM (packed bytes are all that crosses HBM: half the int8 weight
+    bandwidth). Row blocking keeps the scoped VMEM under the 16M limit
+    at SD-scale shapes (64x64x960 inputs OOM'd a full-height acc)."""
     nb_, cout_t = dly_ref.shape
-    acc = jnp.zeros((h, w, cout_t), jnp.float32)
+    hb = pl.program_id(1)
+    acc = jnp.zeros((bh, w, cout_t), jnp.float32)
     dly = dly_ref[0]
     zpc = zpc_ref[0]
     for t in range(kh * kw):
@@ -477,7 +482,7 @@ def _int4_conv_kernel(x_ref, wp_ref, dly_ref, zpc_ref, b_ref, o_ref, *,
         # dequant in f32, ONE rounding to the bf16 operand (a bf16
         # dequant chain double-rounds through the pre-rounded delta)
         wd = ((wq - zpc) * dly).astype(jnp.bfloat16)  # (cin, cout_t)
-        xw = x_ref[0, i:i + h, j:j + w, :]
+        xw = x_ref[0, pl.dslice(hb * bh + i, bh), pl.dslice(j, w), :]
         acc = acc + jax.lax.dot_general(
             xw.astype(jnp.bfloat16), wd, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -489,7 +494,7 @@ def int4_conv2d_dequant(x: jax.Array, w_packed: jax.Array,
                         kh: int, kw: int,
                         bias: Optional[jax.Array] = None,
                         pads=((1, 1), (1, 1)),
-                        block_n: int = 256,
+                        block_n: int = 256, block_h: int = 32,
                         out_dtype=jnp.float32) -> jax.Array:
     """Stride-1 conv over NHWC x with packed-int4 weights:
     w_packed (kh*kw, cin, Np//2) from pack_int4 per tap (same block_n),
@@ -505,26 +510,30 @@ def int4_conv2d_dequant(x: jax.Array, w_packed: jax.Array,
     wo = wp - kw + 1
     if bias is None:
         bias = jnp.zeros((npk,), jnp.float32)
-    grid = (b_, _cdiv(npk, bn))
-    kern = functools.partial(_int4_conv_kernel, kh=kh, kw=kw, h=ho,
+    bh = min(block_h, ho)
+    while ho % bh:
+        bh -= 1
+    grid = (b_, ho // bh, _cdiv(npk, bn))
+    kern = functools.partial(_int4_conv_kernel, kh=kh, kw=kw, bh=bh,
                              w=wo, out_dtype=out_dtype)
     return pl.pallas_call(
         kern, grid=grid,
         in_specs=[
-            pl.BlockSpec((1, hp, wp, cin), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, hp, wp, cin),
+                         lambda i, h, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kh * kw, cin, bn // 2),
-                         lambda i, j: (0, 0, j),
+                         lambda i, h, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+            pl.BlockSpec((1, bn), lambda i, h, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+            pl.BlockSpec((1, bn), lambda i, h, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+            pl.BlockSpec((1, bn), lambda i, h, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ho, wo, bn),
-                               lambda i, j: (i, 0, 0, j),
+        out_specs=pl.BlockSpec((1, bh, wo, bn),
+                               lambda i, h, j: (i, h, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_, ho, wo, npk), out_dtype),
         cost_estimate=pl.CostEstimate(

@@ -61,8 +61,18 @@ def build_adapter(task: TaskConfig, qargs: QuantArgs):
 
 
 def make_schedule(task: TaskConfig, steps: Optional[int] = None,
-                  eta: Optional[float] = None):
-    """(sampler_fn, cali_t): sampler_fn(model_fn, x, key, collect)."""
+                  eta: Optional[float] = None,
+                  dpm_cfg: Optional[dict] = None):
+    """(sampler_fn, cali_t): sampler_fn(model_fn, x, key, collect).
+
+    ``dpm_cfg`` (only with ``task.sampler == 'dpm'``) selects a
+    non-default DPM-Solver configuration via the general engine
+    (samplers/dpm.py): keys order/method/skip_type/algorithm_type/
+    solver_type/denoise_to_zero, reference surface
+    dpm_solver.py:965-1113. The default (multistep order-2 dpmsolver++
+    time_uniform — the TFMQ entry config, sampler.py:82-83) keeps the
+    dedicated scan implementation.
+    """
     betas = task_betas(task)
     steps = steps or task.steps
     eta = task.eta if eta is None else eta
@@ -83,6 +93,31 @@ def make_schedule(task: TaskConfig, steps: Optional[int] = None,
 
     ac = np.cumprod(1.0 - betas)
     if task.sampler == "dpm":
+        if dpm_cfg:
+            from ..samplers import dpm as dpm_g
+            ns = dpm_g.NoiseSchedule("discrete", alphas_cumprod=ac)
+            kw = dict(steps=steps, order=dpm_cfg.get("order", 2),
+                      method=dpm_cfg.get("method", "multistep"),
+                      skip_type=dpm_cfg.get("skip_type",
+                                            "time_uniform"),
+                      algorithm_type=dpm_cfg.get("algorithm_type",
+                                                 "dpmsolver++"),
+                      solver_type=dpm_cfg.get("solver_type",
+                                              "dpm_solver"),
+                      denoise_to_zero=dpm_cfg.get("denoise_to_zero",
+                                                  False))
+            if kw["method"] == "adaptive":
+                cali_t = None  # data-dependent times: no FSC axis
+            else:
+                cali_t = dpm_g.eval_times(
+                    ns, steps=steps, order=kw["order"],
+                    method=kw["method"], skip_type=kw["skip_type"])
+
+            def fn(model_fn, x, key, collect="none"):
+                return dpm_g.dpm_solver_sample(model_fn, ns, x,
+                                               collect=collect, **kw)
+            return fn, cali_t
+
         sched = ldm_s.DPMSchedule(ac, steps)
         cali_t = sched.model_t[:-1].copy()
 
@@ -110,7 +145,8 @@ def generate_cali_data(task: TaskConfig, fp_apply: Callable,
                        uncond: Optional[jax.Array] = None,
                        cfg_scale: Optional[float] = None,
                        steps: Optional[int] = None,
-                       rollout_batch: Optional[int] = None):
+                       rollout_batch: Optional[int] = None,
+                       dpm_cfg: Optional[dict] = None):
     """Harvest (x_t, t[, c]) at every sampler step in O(T) rollouts
     (vs data_generate.py's per-t re-sampling).
 
@@ -121,7 +157,11 @@ def generate_cali_data(task: TaskConfig, fp_apply: Callable,
 
     Returns (w_cali sample-major tuple, a_cali group-major tuple,
     cali_t)."""
-    sampler_fn, cali_t = make_schedule(task, steps=steps)
+    if dpm_cfg and dpm_cfg.get("method") == "adaptive":
+        raise ValueError("adaptive DPM-Solver has data-dependent eval "
+                         "times: calibration needs a fixed-step method")
+    sampler_fn, cali_t = make_schedule(task, steps=steps,
+                                       dpm_cfg=dpm_cfg)
     shape = (task.unet.resolution if task.family == "ddim"
              else task.unet.image_size)
     cin = task.unet.in_channels
