@@ -207,3 +207,57 @@ def test_int4_conv2d_dequant_matches_xla():
             block_n=256, block_h=4)
     np.testing.assert_allclose(np.asarray(out_rb)[:, :, :, :Cout], ref,
                                atol=2e-5, rtol=2e-5)
+
+
+def test_int4_conv_plan_gates_sd_scale_shapes():
+    """Scoped-VMEM plan: SD's 64x64 640-channel conv cannot host its
+    padded image in VMEM (the driver-observed 19.9M > 16M OOM at
+    bench_sd's int4-serving variant) -> plan is None and the call takes
+    the XLA dequant fallback; the weight-bandwidth-bound low-res
+    1280-channel convs keep the tap-GEMM kernel."""
+    assert pk._int4_conv_plan(64, 64, 640, 512, 3, 3, 256, 2) is None
+    assert pk._int4_conv_plan(64, 64, 960, 640, 3, 3, 256, 2) is None
+    bh = pk._int4_conv_plan(16, 16, 1280, 1280, 3, 3, 256, 2)
+    assert bh is not None and 16 % bh == 0
+    assert pk._int4_conv_plan(32, 32, 128, 256, 3, 3, 256, 4) is not None
+
+
+def test_int4_conv2d_dequant_fallback_matches_kernel_semantics():
+    """When the plan rejects a shape, int4_conv2d_dequant runs an XLA
+    conv on the same one-rounding bf16-dequantized weights; forced here
+    via a budget monkeypatch on a small shape and compared against the
+    interpret-mode tap-GEMM kernel output."""
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    rng = np.random.RandomState(1)
+    B, H, W, Cin, Cout, KH, KW = 1, 8, 8, 16, 24, 3, 3
+    npad = 256
+    w_q = rng.randint(-8, 8, (KH * KW, Cin, npad)).astype(np.int8)
+    w_q[:, :, Cout:] = 0
+    delta = np.ones(npad, np.float32)
+    delta[:Cout] = rng.rand(Cout).astype(np.float32) * 0.1 + 0.05
+    zp_c = np.zeros(npad, np.float32)
+    zp_c[:Cout] = rng.randint(-4, 4, Cout)
+    packed = jnp.stack([pk.pack_int4(w_q[t], block_n=256)
+                        for t in range(KH * KW)])
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.bfloat16)
+    bias = np.zeros(npad, np.float32)
+    bias[:Cout] = rng.randn(Cout) * 0.1
+
+    orig = pl.pallas_call
+
+    def icall(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    args = (x, packed, jnp.asarray(delta), jnp.asarray(zp_c), KH, KW)
+    with mock.patch.object(pk.pl, "pallas_call", icall):
+        kout = np.asarray(pk.int4_conv2d_dequant(
+            *args, bias=jnp.asarray(bias), block_n=256))[..., :Cout]
+    with mock.patch.object(pk, "_INT4_CONV_VMEM_BUDGET", 0):
+        fout = np.asarray(pk.int4_conv2d_dequant(
+            *args, bias=jnp.asarray(bias), block_n=256))[..., :Cout]
+    # same weights after one bf16 rounding; accumulation order differs
+    np.testing.assert_allclose(fout, kout, atol=5e-2, rtol=5e-3)

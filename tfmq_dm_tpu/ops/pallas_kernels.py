@@ -489,6 +489,62 @@ def _int4_conv_kernel(x_ref, wp_ref, dly_ref, zpc_ref, b_ref, o_ref, *,
     o_ref[0] = (acc + b_ref[0]).astype(out_dtype)
 
 
+# scoped-VMEM budget for the tap-GEMM kernel plan: the hardware limit is
+# 16 MB; 14 MB leaves slack for Mosaic temporaries the estimate can't see
+_INT4_CONV_VMEM_BUDGET = 14 * 2 ** 20
+
+
+def _int4_conv_plan(ho: int, wo: int, cin: int, npk: int, kh: int,
+                    kw: int, bn: int, in_bytes: int,
+                    block_h: int = 32) -> Optional[int]:
+    """Pick the largest feasible output-row block (bh) for the tap-GEMM
+    kernel, or None when even bh=1 blows the scoped-VMEM limit — the
+    dominant, bh-independent term is the per-batch-row resident padded
+    image (double-buffered by the pipeline), which at SD's 64x64
+    640-channel convs alone exceeds the 16 MB limit. Those big-spatial
+    shapes are activation-dominated (image bytes >> packed weight bytes),
+    so the caller loses nothing falling back to an XLA conv on
+    dequantized weights; the weight-bandwidth-bound low-resolution
+    1280-channel convs all fit."""
+    def ru(a, m):
+        return -(-a // m) * m
+
+    hp, wp = ho + kh - 1, wo + kw - 1
+    x_b = 2 * hp * ru(wp, 16) * ru(cin, 128) * in_bytes
+    w_b = 2 * kh * kw * ru(cin, 32) * ru(bn // 2, 128)
+    bh = min(block_h, ho)
+    while bh >= 1:
+        while ho % bh:
+            bh -= 1
+        o_b = 2 * bh * ru(wo, 16) * ru(bn, 128) * in_bytes
+        acc = bh * ru(wo, 8) * ru(bn, 128) * 4
+        tmp = (ru(cin, 32) * ru(bn, 128) * 6
+               + bh * ru(wo, 8) * ru(cin, 128) * 2)
+        if x_b + w_b + o_b + acc + tmp <= _INT4_CONV_VMEM_BUDGET:
+            return bh
+        bh //= 2
+    return None
+
+
+def dequant_packed_conv_weights(w_packed: jax.Array, delta_w: jax.Array,
+                                zp_wc: jax.Array, kh: int, kw: int,
+                                block_n: int,
+                                dtype=jnp.bfloat16) -> jax.Array:
+    """XLA-side unpack + dequant of a per-tap nibble-packed conv weight
+    to full HWIO (padded channels included — callers slice)."""
+    half = block_n // 2
+    cin = w_packed.shape[1]
+    npk = w_packed.shape[2] * 2
+    taps = []
+    for t in range(kh * kw):
+        tiles = [_unpack_int4(w_packed[t, :, j * half:(j + 1) * half])
+                 for j in range(npk // block_n)]
+        taps.append(jnp.concatenate(tiles, axis=1))
+    wq = jnp.stack(taps).astype(jnp.float32)
+    w = delta_w[None, None, :] * (wq - zp_wc[None, None, :])
+    return w.reshape(kh, kw, cin, npk).astype(dtype)
+
+
 def int4_conv2d_dequant(x: jax.Array, w_packed: jax.Array,
                         delta_w: jax.Array, zp_wc: jax.Array,
                         kh: int, kw: int,
@@ -500,7 +556,10 @@ def int4_conv2d_dequant(x: jax.Array, w_packed: jax.Array,
     w_packed (kh*kw, cin, Np//2) from pack_int4 per tap (same block_n),
     delta_w/zp_wc (Np,) per-channel (zp centered at 8). Output channels
     beyond the real cout must carry delta=1/zp_c=0 padding (they are
-    sliced off by the caller)."""
+    sliced off by the caller). Shapes whose resident image cannot fit
+    scoped VMEM (see _int4_conv_plan) run an XLA conv on dequantized
+    weights instead — those are the activation-dominated convs where
+    packing buys no bandwidth anyway."""
     b_, h, w, cin = x.shape
     npk = w_packed.shape[2] * 2
     bn = min(block_n, npk)
@@ -510,9 +569,16 @@ def int4_conv2d_dequant(x: jax.Array, w_packed: jax.Array,
     wo = wp - kw + 1
     if bias is None:
         bias = jnp.zeros((npk,), jnp.float32)
-    bh = min(block_h, ho)
-    while ho % bh:
-        bh -= 1
+    bh = _int4_conv_plan(ho, wo, cin, npk, kh, kw, bn,
+                         x.dtype.itemsize, block_h=block_h)
+    if bh is None:
+        wd = dequant_packed_conv_weights(w_packed, delta_w, zp_wc, kh,
+                                         kw, bn, dtype=x.dtype)
+        out = jax.lax.conv_general_dilated(
+            x, wd, (1, 1), list(pads),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return (out + bias[None, None, None, :]).astype(out_dtype)
     grid = (b_, ho // bh, _cdiv(npk, bn))
     kern = functools.partial(_int4_conv_kernel, kh=kh, kw=kw, bh=bh,
                              w=wo, out_dtype=out_dtype)
