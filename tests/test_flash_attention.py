@@ -350,3 +350,44 @@ def test_wide_softmax_bits_avoid_int8_paths(tq):
                      preferred_element_type=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_fqk_int8_pv_matches_bf16_pv():
+    """The int8-PV variant (softmax levels x centered-int8 v codes with
+    exact rank-1 corrections) must agree with the default bf16-PV fqk
+    kernel. Measured SLOWER on chip at SD shapes (8.3 vs 5.3 ms/call at
+    4096 tokens — the N=40 output wastes the int8 MXU rate while the
+    psum/cast corrections add full-width VPU work; docs/PERF.md), so it
+    defaults off; the exactness contract is pinned here."""
+    from tfmq_dm_tpu.quant.quantizer import fake_quant
+
+    acfg = QCfg(bits=8, symmetric=False)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = _rand(k1, 2, 2, 300, 48).astype(jnp.bfloat16)
+    k = _rand(k2, 2, 2, 300, 48).astype(jnp.bfloat16)
+    v = _rand(k3, 2, 2, 300, 48).astype(jnp.bfloat16)
+    dq = jnp.float32(0.021); zq = jnp.float32(121.0)
+    dk = jnp.float32(0.017); zk = jnp.float32(133.0)
+    dv = jnp.float32(0.024); zv = jnp.float32(125.0)
+    dw = jnp.float32(1 / 251.); zw = jnp.float32(0.0)
+    kw = dict(sm_scale=48 ** -0.5,
+              qkv_quant=((dq, zq), (dk, zk), (dv, zv)),
+              qkv_ranges=(acfg.qrange,) * 3, p_quant=(dw, zw),
+              p_always_zero=True, int8_matmul=False,
+              block_q=128, block_k=128, interpret=True)
+    got = flash_attention(q, k, v, int8_pv=True, **kw)
+    ref = flash_attention(q, k, v, int8_pv=False, **kw)
+    np.testing.assert_allclose(np.asarray(got).astype(np.float32),
+                               np.asarray(ref).astype(np.float32),
+                               atol=5e-3, rtol=5e-3)
+    # the integer PV is if anything closer to the f32 sim: also check
+    # against XLA fake-quant + exact softmax-quant reference
+    qf = fake_quant(q, dq, zq, acfg)
+    kf = fake_quant(k, dk, zk, acfg)
+    vf = fake_quant(v, dv, zv, acfg)
+    ref2 = flash_attention(qf, kf, vf, sm_scale=48 ** -0.5,
+                           p_quant=(dw, zw), p_always_zero=True,
+                           block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got).astype(np.float32),
+                               np.asarray(ref2).astype(np.float32),
+                               atol=5e-3, rtol=5e-3)

@@ -173,8 +173,9 @@ def _quant_kernel(dz_ref, q_ref, k_ref, v_ref, o_ref, s_scr, *,
 
 
 def _fqk_kernel(sc_ref, q_ref, k_ref, v_ref, o_ref, s_scr, kf_scr,
-                vf_scr, *, block_k, nk, tk_actual, sm_scale, ranges,
-                w_range, quant_w, out_dtype, zp_zero=False):
+                vf_scr, vs_scr, *, block_k, nk, tk_actual, sm_scale,
+                ranges, w_range, quant_w, out_dtype, zp_zero=False,
+                int8_pv=False):
     """Fast-deploy kernel: q/k/v fake-quantized IN-KERNEL (saves three
     full XLA elementwise sweeps over the activations), bf16 matmuls,
     optional softmax-output quant with the fused e-scratch two-pass
@@ -184,12 +185,21 @@ def _fqk_kernel(sc_ref, q_ref, k_ref, v_ref, o_ref, s_scr, kf_scr,
     the minor dimension, so the scratch survives across the row's cells
     (a per-cell fq re-did that work nq times and gave the in-kernel
     variant no net win). sc_ref (SMEM): [dq, zq, dk, zk, dv, zv, dw,
-    zw]."""
+    zw].
+
+    ``int8_pv``: with the softmax-output quantizer active and both its
+    levels and the v grid fitting int8, the PV matmul runs int8 on the
+    MXU — unlike QK (contraction dim = head dim 40-80, where int8 buys
+    nothing), PV contracts over Tk = 1024-4096 tokens, so the int8 rate
+    is real. v codes live centered-int8 in the scratch (half the bf16
+    bytes) with exact rank-1 zero-point corrections (the _int8_kernel PV
+    algebra); the p levels 0..255 are exact integers by construction."""
     dq, zq = sc_ref[0], sc_ref[1]
     dk, zk = sc_ref[2], sc_ref[3]
     dv, zv = sc_ref[4], sc_ref[5]
     dw, zw = sc_ref[6], sc_ref[7]
     (qnb, qpb), (knb, kpb), (vnb, vpb) = ranges
+    zv_c = zv - 128.0
     qraw = q_ref[0]
     mdt = qraw.dtype
     q = _fq(qraw, dq, zq, qnb, qpb, mdt)
@@ -200,7 +210,15 @@ def _fqk_kernel(sc_ref, q_ref, k_ref, v_ref, o_ref, s_scr, kf_scr,
         def one(kb, _):
             sl = pl.ds(kb * block_k, block_k)
             kf_scr[sl, :] = _fq(k_ref[0, sl, :], dk, zk, knb, kpb, mdt)
-            vf_scr[sl, :] = _fq(v_ref[0, sl, :], dv, zv, vnb, vpb, mdt)
+            if int8_pv:
+                v8 = _quant_i8(v_ref[0, sl, :], dv, zv, vnb, vpb)
+                vf_scr[sl, :] = v8
+                vs_scr[pl.ds(kb, 1), :] = jnp.sum(
+                    v8.astype(jnp.int32), axis=0,
+                    keepdims=True).astype(jnp.float32)
+            else:
+                vf_scr[sl, :] = _fq(v_ref[0, sl, :], dv, zv, vnb, vpb,
+                                    mdt)
             return 0
         jax.lax.fori_loop(0, nk, one, 0)
 
@@ -221,7 +239,29 @@ def _fqk_kernel(sc_ref, q_ref, k_ref, v_ref, o_ref, s_scr, kf_scr,
         m_blk.append(m_new)
 
     acc = jnp.zeros((bm, d), jnp.float32)
-    if quant_w:
+    if quant_w and int8_pv:
+        wnb, wpb = w_range
+        inv = 1.0 / (l * dw)
+        for kb in range(nk):
+            v8 = vf_scr[kb * block_k:(kb + 1) * block_k, :]
+            e = s_scr[:, kb * block_k:(kb + 1) * block_k]
+            f = jnp.exp(m_blk[kb] - m) * inv
+            if zp_zero:
+                p_q = jnp.minimum(jnp.round(e * f), wpb)
+            else:
+                p_q = jnp.clip(jnp.round(e * f) + zw, wnb, wpb)
+            p8 = (p_q - 128.0).astype(jnp.int8)
+            psum = jnp.sum(p8.astype(jnp.int32), axis=-1,
+                           keepdims=True).astype(jnp.float32)
+            pvi = jax.lax.dot_general(
+                p8, v8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            # Σ_j (p_q - zw)(v_q - zv) with p8 = p_q - 128, v8 = v_q - 128
+            acc = acc + (pvi - zv_c * psum
+                         + (128.0 - zw) * vs_scr[kb, :][None, :]
+                         - (128.0 - zw) * zv_c * float(block_k))
+        acc = (dw * dv) * acc
+    elif quant_w:
         wnb, wpb = w_range
         inv = 1.0 / (l * dw)
         for kb in range(nk):
@@ -357,10 +397,10 @@ def _int8_kernel(sc_ref, q_ref, kt_ref, v_ref, qs_ref, ks_ref, vs_ref,
 @functools.partial(
     jax.jit, static_argnames=("sm_scale", "qrange", "ranges", "block_q",
                               "block_k", "interpret", "mode",
-                              "score_dtype", "zp_zero"))
+                              "score_dtype", "zp_zero", "use_int8_pv"))
 def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
                 block_k, interpret, mode, score_dtype=jnp.float32,
-                zp_zero=False):
+                zp_zero=False, use_int8_pv=False):
     bh, tq, d = q.shape
     tk = k.shape[1]
     tqp = _round_up(tq, block_q)
@@ -396,6 +436,13 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
             out_shape=out_shape, cost_estimate=cost,
             interpret=interpret)(qp, kp, vp)
     elif mode == "fqk":
+        # int8 PV: softmax levels and v codes both fit centered int8 —
+        # the Tk-contraction matmul runs at the int8 MXU rate and the v
+        # scratch halves. QK stays bf16 (head-dim contraction gains
+        # nothing from int8; see attention.py dispatch note).
+        int8_pv = (use_int8_pv and qrange is not None
+                   and qrange[0] == 0 and qrange[1] <= 255
+                   and ranges[2][0] == 0 and ranges[2][1] <= 255)
         kern = functools.partial(
             _fqk_kernel, block_k=block_k, nk=nk, tk_actual=tk,
             sm_scale=sm_scale,
@@ -403,7 +450,7 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
             w_range=(None if qrange is None else
                      (float(qrange[0]), float(qrange[1]))),
             quant_w=qrange is not None, out_dtype=q.dtype,
-            zp_zero=zp_zero)
+            zp_zero=zp_zero, int8_pv=int8_pv)
         out = pl.pallas_call(
             kern, grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -411,7 +458,9 @@ def _flash_call(q, k, v, dz, sc, *, sm_scale, qrange, ranges, block_q,
             out_specs=out_spec, out_shape=out_shape, cost_estimate=cost,
             scratch_shapes=[pltpu.VMEM((block_q, tkp), jnp.float32),
                             pltpu.VMEM((tkp, d), q.dtype),
-                            pltpu.VMEM((tkp, d), q.dtype)],
+                            pltpu.VMEM((tkp, d),
+                                       jnp.int8 if int8_pv else q.dtype),
+                            pltpu.VMEM((nk, d), jnp.float32)],
             interpret=interpret)(sc, qp, kp, vp)
     elif mode == "pquant":
         nb, pb = qrange
@@ -492,6 +541,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     block_k: Optional[int] = None,
                     score_dtype=jnp.float32,
                     p_always_zero: bool = False,
+                    int8_pv: bool = False,
                     interpret: bool = False) -> jax.Array:
     """Blockwise attention over (B, H, T, D) tensors.
 
@@ -549,7 +599,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                           ranges=tuple(tuple(r) for r in qkv_ranges),
                           block_q=bq, block_k=bk, interpret=interpret,
                           mode="int8" if int8_matmul else "fqk",
-                          zp_zero=p_always_zero)
+                          zp_zero=p_always_zero, use_int8_pv=int8_pv)
     elif p_quant is not None:
         delta, zp = p_quant
         dz = jnp.stack([jnp.asarray(delta, jnp.float32).reshape(()),
