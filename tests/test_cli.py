@@ -157,6 +157,40 @@ def _save_tiny_sd_ckpt(path):
     torch.save({"state_dict": sd}, path)
 
 
+def _save_tiny_bert_ckpt(path):
+    from tfmq_dm_tpu.models import bert_text
+    task = get_task("tiny_bert")
+    u = ldm_unet.init_params(jax.random.PRNGKey(0), task.unet)
+    v = vae.init_params(jax.random.PRNGKey(1), task.vae, encoder=False)
+    c = bert_text.init_params(jax.random.PRNGKey(2), task.bert)
+    sd = {}
+    for k, t in export_state_dict(
+            u, ldm_unet.iter_layers(task.unet)).items():
+        sd[f"model.diffusion_model.{k}"] = torch.from_numpy(np.array(t))
+    for k, t in export_state_dict(
+            v, vae.iter_layers(task.vae, encoder=False)).items():
+        sd[f"first_stage_model.{k}"] = torch.from_numpy(np.array(t))
+    for k, t in export_state_dict(
+            c, bert_text.iter_layers(task.bert)).items():
+        sd[f"cond_stage_model.transformer.{k}"] = \
+            torch.from_numpy(np.array(t))
+    torch.save({"state_dict": sd}, path)
+
+
+def test_cli_bert_text_sampling(tmp_path):
+    """BERT-conditioned LDM text2img family (BERTEmbedder conditioning,
+    modules.py:80-103) through the CLI: FP CFG sampling with the stub
+    tokenizer."""
+    ckpt = str(tmp_path / "ldm_t2i.ckpt")
+    _save_tiny_bert_ckpt(ckpt)
+    out = str(tmp_path / "run")
+    r = _run(["--task", "tiny_bert", "--ckpt", ckpt, "-n", "2",
+              "--batch", "2", "--prompt", "a painting of a fox",
+              "--out", out])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert len(os.listdir(os.path.join(out, "img"))) == 2
+
+
 @pytest.mark.slow
 def test_cli_sd_text_cali_and_sample(tmp_path):
     """SD-shaped end to end: tiny text-conditioned task through the CLI

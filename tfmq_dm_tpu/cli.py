@@ -128,6 +128,9 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+BERT_VOCAB = 30522  # bert-base-uncased (modules.py:54)
+
+
 def _get_context(task, args, cond_params, n):
     """(context, uncond) conditioning arrays for n samples."""
     from .models import clip_text
@@ -140,6 +143,19 @@ def _get_context(task, args, cond_params, n):
         else:
             raise SystemExit("--prompt or --from-file required for text")
         prompts = (prompts * ((n + len(prompts) - 1) // len(prompts)))[:n]
+        if getattr(task, "bert", None) is not None:
+            # LDM text2img family: BERTEmbedder conditioning
+            from .models import bert_text
+            bcfg = task.bert
+            if bcfg.vocab_size == BERT_VOCAB:
+                toks = bert_text.tokenize(prompts, max_length=bcfg.max_len)
+                utoks = bert_text.tokenize([""] * n,
+                                           max_length=bcfg.max_len)
+            else:
+                toks = bert_text.stub_tokenize(prompts, bcfg)
+                utoks = bert_text.stub_tokenize([""] * n, bcfg)
+            return (bert_text.apply(cond_params, bcfg, toks),
+                    bert_text.apply(cond_params, bcfg, utoks))
         ccfg = task.clip or clip_text.vit_l_14_config()
         if ccfg.vocab_size == clip_text.vit_l_14_config().vocab_size:
             toks = clip_text.tokenize(prompts, max_length=ccfg.max_len)

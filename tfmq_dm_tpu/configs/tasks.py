@@ -50,6 +50,10 @@ class TaskConfig:
     # CLIP text-encoder config for cond=="text" (None -> ViT-L/14, the
     # SD v1.4 FrozenCLIPEmbedder); tiny tasks carry tiny_clip_config
     clip: object = None
+    # BERT text-encoder config (BERTEmbedder, modules.py:80-103) for the
+    # LDM text2img family; when set, cond=="text" uses bert_text instead
+    # of clip_text
+    bert: object = None
 
 
 def cifar10() -> TaskConfig:
@@ -145,6 +149,50 @@ def cin256_v2() -> TaskConfig:
         interval_length=1, recon_batch=8, use_ema=False)
 
 
+def text2img_256() -> TaskConfig:
+    """LDM text2img 256^2 (models/ldm/text2img256/config.yaml): VQ-f4
+    latents, SpatialTransformer UNet with context_dim 640, BERTEmbedder
+    n_embed=640/n_layer=32. Not one of the four TFMQ entry tasks —
+    sampler defaults follow the LDM repo's txt2img recipe (50 DDIM
+    steps, CFG 5.0)."""
+    from ..models import bert_text
+    unet = ldm_unet.LDMUNetConfig(
+        image_size=64, in_channels=3, model_channels=192, out_channels=3,
+        attention_resolutions=(8, 4, 2), channel_mult=(1, 2, 3, 5),
+        num_head_channels=32, use_spatial_transformer=True,
+        transformer_depth=1, context_dim=640)
+    return TaskConfig(
+        name="text2img_256", family="ldm", unet=unet, vae=_LDM_VQ4_VAE,
+        cond="text", beta_start=0.0015, beta_end=0.0195,
+        sampler="ddim", steps=50, eta=0.0, cfg_scale=5.0, cali_n=256,
+        interval_length=1, recon_batch=8, use_ema=False,
+        bert=bert_text.text2img_256_config())
+
+
+def txt2img_1p4b() -> TaskConfig:
+    """LDM-KL-8 text2img 1.4B (configs/latent-diffusion/
+    txt2img-1p4B-eval.yaml): KL-f8 latents (scale_factor 0.18215),
+    SD-shaped UNet with context_dim 1280, BERTEmbedder
+    n_embed=1280/n_layer=32."""
+    from ..models import bert_text
+    unet = ldm_unet.LDMUNetConfig(
+        image_size=32, in_channels=4, model_channels=320, out_channels=4,
+        attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4),
+        num_heads=8, use_spatial_transformer=True, transformer_depth=1,
+        context_dim=1280, legacy=False)
+    kl_f8 = vae_mod.VAEConfig(
+        ch=128, out_ch=3, in_channels=3, z_channels=4,
+        ch_mult=(1, 2, 4, 4), num_res_blocks=2, attn_resolutions=(),
+        resolution=256, double_z=True, embed_dim=4, vq=False,
+        scale_factor=0.18215)
+    return TaskConfig(
+        name="txt2img_1p4b", family="ldm", unet=unet, vae=kl_f8,
+        cond="text", beta_schedule="linear", beta_start=0.00085,
+        beta_end=0.012, sampler="ddim", steps=50, eta=0.0,
+        cfg_scale=5.0, cali_n=256, interval_length=1, recon_batch=8,
+        use_ema=False, bert=bert_text.txt2img_1p4b_config())
+
+
 def sd_v1_4() -> TaskConfig:
     return TaskConfig(
         name="sd_v1_4", family="ldm", unet=ldm_unet.sd_v1_config(),
@@ -184,6 +232,19 @@ def tiny_sd() -> TaskConfig:
         use_ema=False, n_prompts=2, clip=clip_text.tiny_clip_config())
 
 
+def tiny_bert() -> TaskConfig:
+    """CPU-testable miniature of the BERT-conditioned LDM text2img
+    pipeline (stub tokenizer)."""
+    from ..models import bert_text
+    return TaskConfig(
+        name="tiny_bert", family="ldm",
+        unet=ldm_unet.tiny_sd_config(context_dim=32),
+        vae=vae_mod.tiny_vae_config(), cond="text", beta_start=0.0015,
+        beta_end=0.0195, sampler="ddim", steps=4, cfg_scale=5.0,
+        num_timesteps=100, cali_n=2, interval_length=1, recon_batch=4,
+        use_ema=False, n_prompts=2, bert=bert_text.tiny_bert_config())
+
+
 def tiny_cin() -> TaskConfig:
     return TaskConfig(
         name="tiny_cin", family="ldm",
@@ -199,6 +260,7 @@ TASKS = {
     "tiny_ddim": tiny_ddim,
     "tiny_ldm": tiny_ldm,
     "tiny_sd": tiny_sd,
+    "tiny_bert": tiny_bert,
     "tiny_cin": tiny_cin,
     "ddim_celeba64": ddim_celeba64,
     "ddim_lsun_bedroom": ddim_lsun_bedroom,
@@ -208,6 +270,8 @@ TASKS = {
     "lsun_beds256": lsun_beds256,
     "lsun_churches256": lsun_churches256,
     "cin256_v2": cin256_v2,
+    "text2img_256": text2img_256,
+    "txt2img_1p4b": txt2img_1p4b,
     "sd_v1_4": sd_v1_4,
 }
 

@@ -95,11 +95,17 @@ def load_ldm_checkpoint(path: str, task: TaskConfig,
                                   for k in vae_sd)))
     cond_params = None
     if task.cond == "text":
-        clip_sd = _strip_prefix(sd, "cond_stage_model.transformer.")
-        if clip_sd:
+        cond_sd = _strip_prefix(sd, "cond_stage_model.transformer.")
+        if cond_sd and getattr(task, "bert", None) is not None:
+            # BERTEmbedder checkpoints (x_transformer TransformerWrapper
+            # keys: token_emb/pos_emb/attn_layers.*)
+            from ..models import bert_text
+            cond_params = convert_state_dict(
+                cond_sd, bert_text.iter_layers(task.bert))
+        elif cond_sd:
             ccfg = task.clip or clip_text.vit_l_14_config()
             cond_params = convert_state_dict(
-                clip_sd, clip_text.iter_layers(ccfg))
+                cond_sd, clip_text.iter_layers(ccfg))
     elif task.cond == "class":
         import jax.numpy as jnp
         import numpy as np
