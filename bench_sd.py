@@ -17,6 +17,7 @@ Prints one JSON line like bench.py with the w4a8 number as the metric.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -65,6 +66,9 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     b = int(args[0]) if args else 8
     skip_int4 = "--skip-int4" in sys.argv
+    if os.environ.get("TFMQ_FAST_ATTN"):  # A/B the fast-deploy q/k/v
+        from tfmq_dm_tpu.ops.attention import set_fast_attn
+        set_fast_attn(os.environ["TFMQ_FAST_ATTN"])
     cfg = ldm_unet.sd_v1_config()
     params = ldm_unet.init_params(jax.random.PRNGKey(0), cfg)
     x = jax.random.normal(jax.random.PRNGKey(1), (b, 64, 64, 4))

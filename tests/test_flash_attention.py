@@ -275,6 +275,44 @@ def test_fqk_kernel_matches_xla_fake_quant(with_w):
                                atol=5e-3, rtol=5e-3)
 
 
+def test_fast_attn_xla_fq_dispatch_matches_fqk():
+    """set_fast_attn("xla_fq") moves the fast-deploy q/k/v fake-quant
+    out of the kernel (XLA sweeps, fusable into projection epilogues)
+    and runs the pquant-only kernel; the dispatch must agree with the
+    default in-kernel fqk mode."""
+    from tfmq_dm_tpu.quant.context import QuantCtx
+    from tfmq_dm_tpu.quant.policy import LayerPolicy, QuantPolicy
+
+    acfg = QCfg(bits=8, symmetric=False)
+    wcfg = QCfg(bits=8, symmetric=False, always_zero=True)
+    pol = QuantPolicy(
+        {s: LayerPolicy(w_cfg=None, a_cfg=acfg, wq=False, aq=True)
+         for s in ("q", "k", "v")} |
+        {"w": LayerPolicy(w_cfg=None, a_cfg=wcfg, wq=False, aq=True)},
+        order=[])
+    ast = {s: {"delta": jnp.float32(0.03), "zp": jnp.float32(126.0)}
+           for s in ("q", "k", "v")}
+    ast["w"] = {"delta": jnp.float32(1 / 255.), "zp": jnp.float32(0.0)}
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(21), 3)
+    q = _rand(k1, 1, 140, 2, 40).astype(jnp.bfloat16)
+    k = _rand(k2, 1, 140, 2, 40).astype(jnp.bfloat16)
+    v = _rand(k3, 1, 140, 2, 40).astype(jnp.bfloat16)
+    sites = {"q": "q", "k": "k", "v": "v", "w": "w"}
+    ctx = QuantCtx(pol, astate=ast, use_aq=True, deploy={"dummy": None},
+                   act_out_dtype=jnp.bfloat16, flash=True)
+    attn_ops.set_flash("on")
+    try:
+        fqk = attn_ops.qsm_attention(q, k, v, 40 ** -0.5, ctx, sites)
+        attn_ops.set_fast_attn("xla_fq")
+        xla = attn_ops.qsm_attention(q, k, v, 40 ** -0.5, ctx, sites)
+    finally:
+        attn_ops.set_fast_attn("fqk")
+        attn_ops.set_flash("auto")
+    np.testing.assert_allclose(np.asarray(xla).astype(np.float32),
+                               np.asarray(fqk).astype(np.float32),
+                               atol=5e-3, rtol=5e-3)
+
+
 def test_fqk_multi_qblock_scratch_persistence():
     """The fqk kernel fake-quants k/v into persistent VMEM scratch only
     on the FIRST q-block of each (b, h) row (@pl.when(program_id(1)==0));

@@ -36,6 +36,18 @@ _MODE = "auto"  # "auto" (TPU only) | "on" | "off"
 # quantizer sites (still bit-equivalent to the reference semantics)
 _INT8 = True
 
+# fast-deploy q/k/v quantizer placement: "fqk" = in-kernel fake-quant
+# (k/v fq persisted in VMEM scratch, but block_q capped at 256 by the
+# scoped-VMEM limit); "xla_fq" = fake-quant q/k/v in XLA (fusable into
+# the projection epilogues) + the pquant-only kernel at full 512 tiles
+_FAST_ATTN = "fqk"
+
+
+def set_fast_attn(mode: str) -> None:
+    global _FAST_ATTN
+    assert mode in ("fqk", "xla_fq"), mode
+    _FAST_ATTN = mode
+
 # Below this key length the materialized score matrix fits comfortably
 # in cache-sized tiles and XLA's fused einsum+softmax beats the kernel's
 # grid overhead (measured on CIFAR-10's 256-token attention). Flash wins
@@ -196,6 +208,15 @@ def qsm_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             # requires the softmax quantizer (if any) to fit int8 levels
             # (_int8_kernel centers p codes at 128); a wide pw falls to
             # the fake-quant + pquant-kernel path below.
+            if fast and _FAST_ATTN == "xla_fq":
+                qf = qctx.qact(sites["q"], qt).astype(qt.dtype)
+                kf = qctx.qact(sites["k"], kt).astype(kt.dtype)
+                vf = qctx.qact(sites["v"], vt).astype(vt.dtype)
+                out = flash_attention(
+                    qf, kf, vf, sm_scale=sm_scale, p_quant=p_quant[0],
+                    qrange=p_quant[1], p_always_zero=p_az,
+                    interpret=interp)
+                return out.transpose(0, 2, 1, 3).astype(out_dtype)
             out = flash_attention(
                 qt, kt, vt, sm_scale=sm_scale,
                 qkv_quant=tuple((p[1]["delta"], p[1]["zp"])
