@@ -57,13 +57,40 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--ckpt", default=None,
+                    help="trained ddim_unet params npz "
+                         "(scripts/train_toy.py output); random init "
+                         "otherwise")
+    ap.add_argument("--fd", type=int, default=0,
+                    help="also compute a proxy Frechet distance "
+                         "(fixed random-init InceptionV3 features) "
+                         "between N FP and N quantized samples — a "
+                         "relative quality metric, NOT comparable to "
+                         "published FIDs (those need the pt_inception "
+                         "weights, utils/fid.py)")
     args = ap.parse_args()
 
     task = get_task(args.task)
     key = jax.random.PRNGKey(0)
 
+    trained = None
+    if args.ckpt:
+        import dataclasses as dc
+        from tfmq_dm_tpu.pipelines.training import load_params
+        trained, meta = load_params(args.ckpt)
+        assert meta.get("kind") == "ddim_unet", meta
+        cfg = ddim_unet.DDIMUNetConfig(
+            resolution=meta["resolution"], ch=meta["ch"],
+            ch_mult=tuple(meta["ch_mult"]),
+            num_res_blocks=meta["num_res_blocks"],
+            attn_resolutions=tuple(meta["attn_resolutions"]))
+        task = dc.replace(task, unet=cfg,
+                          num_timesteps=meta["timesteps"])
+        assert task.family == "ddim", "--ckpt is a ddim_unet npz"
+
     if task.family == "ddim":
-        params = ddim_unet.init_params(jax.random.PRNGKey(7), task.unet)
+        params = trained if trained is not None else \
+            ddim_unet.init_params(jax.random.PRNGKey(7), task.unet)
 
         def fp_apply(x, t, c=None, qctx=None):
             return ddim_unet.apply(params, task.unet, x, t, qctx)
@@ -149,6 +176,54 @@ def main():
         "traj_sqnr_db": round(sqnr_db(np.asarray(fp_xs),
                                       np.asarray(q_xs)), 2),
     }
+    if trained is not None:
+        out["weights"] = "trained:" + args.ckpt
+
+    if args.fd:
+        # proxy FD: distribution-space damage from quantization, in the
+        # pool3 features of a FIXED random-init InceptionV3 (seed 0).
+        # Random-feature Frechet distances rank-correlate with true FID
+        # but are not comparable to published numbers.
+        from tfmq_dm_tpu.utils.fid import (init_inception_params,
+                                           make_extractor)
+        from tfmq_dm_tpu.utils.metrics import (activation_stats,
+                                               fid_from_stats)
+        print(f"[{task.name}] proxy-FD over {args.fd} samples...",
+              file=sys.stderr)
+        inc = init_inception_params(jax.random.PRNGKey(0))
+        ext = make_extractor(inc)
+        roll_fp = jax.jit(lambda x, k: sampler_fn(fp_model, x, k))
+        roll_q = jax.jit(lambda x, k: sampler_fn(q_model, x, k))
+
+        def sample_set(roll, k0):
+            imgs = []
+            k = k0
+            for i in range(0, args.fd, args.batch):
+                k, kx, ks2 = jax.random.split(k, 3)
+                xi = jax.random.normal(kx,
+                                       (args.batch, res, res, chans))
+                last = roll(xi, ks2)
+                if isinstance(last, tuple):
+                    last = last[0]
+                imgs.append(np.clip(np.asarray(last) * 0.5 + 0.5, 0, 1))
+            return np.concatenate(imgs)[: args.fd]
+
+        set_fp = sample_set(roll_fp, jax.random.PRNGKey(100))
+        set_q = sample_set(roll_q, jax.random.PRNGKey(100))
+        mu_f, s_f = activation_stats(set_fp, ext, args.batch)
+        mu_q, s_q = activation_stats(set_q, ext, args.batch)
+        out["proxy_fd_fp_vs_quant"] = round(
+            float(fid_from_stats(mu_f, s_f, mu_q, s_q)), 3)
+        if trained is not None:
+            from tfmq_dm_tpu.data.synthetic import blobs_batch
+            data = np.clip(np.asarray(blobs_batch(
+                jax.random.PRNGKey(5), args.fd, res, chans))
+                * 0.5 + 0.5, 0, 1)
+            mu_d, s_d = activation_stats(data, ext, args.batch)
+            out["proxy_fd_data_vs_fp"] = round(
+                float(fid_from_stats(mu_d, s_d, mu_f, s_f)), 3)
+            out["proxy_fd_data_vs_quant"] = round(
+                float(fid_from_stats(mu_d, s_d, mu_q, s_q)), 3)
     print(json.dumps(out))
     if args.json:
         with open(args.json, "w") as f:
