@@ -56,6 +56,9 @@ def main():
                     help="cali samples per timestep (reference: 256)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--no-aq", action="store_true",
+                    help="weight-only quantization (the w4a32 BASELINE "
+                         "configs): no act quantizers, no FSC")
     ap.add_argument("--json", default=None)
     ap.add_argument("--ckpt", default=None,
                     help="trained ddim_unet params npz "
@@ -105,7 +108,8 @@ def main():
         res = task.unet.image_size
         chans = task.unet.in_channels
 
-    qargs = ptq.QuantArgs(wq=args.wq, aq=args.aq, use_aq=True,
+    use_aq = not args.no_aq
+    qargs = ptq.QuantArgs(wq=args.wq, aq=args.aq, use_aq=use_aq,
                           w_sym=True, iters=args.iters,
                           cali_save_path=None, seed=0)
     adapter = ptq.build_adapter(task, qargs)
@@ -123,7 +127,7 @@ def main():
                                                   args.n_cali))
     key, k = jax.random.split(key)
     wstate, astate = cali_model(adapter, params, w_cali, a_cali, hp=hp,
-                                use_aq=True, key=k)
+                                use_aq=use_aq, key=k)
 
     # rollouts on identical latents/seed
     sampler_fn, _ = ptq.make_schedule(task, steps=args.steps)
@@ -136,7 +140,7 @@ def main():
     def q_model(x, t, step):
         ast = slice_fsc(astate, step) if astate else {}
         qctx = QuantCtx(adapter.policy, wstate=wstate, astate=ast,
-                        use_wq=True, use_aq=True, flash=True)
+                        use_wq=True, use_aq=use_aq, flash=True)
         return fp_apply(x, t, qctx=qctx)
 
     fp_last, (fp_xs, fp_ts) = jax.jit(
@@ -167,7 +171,7 @@ def main():
     q_img = np.clip(np.asarray(q_last) * 0.5 + 0.5, 0, 1)
     out = {
         "task": task.name,
-        "setting": f"w{args.wq}a{args.aq}",
+        "setting": f"w{args.wq}a{32 if args.no_aq else args.aq}",
         "recon_iters": args.iters,
         "cali_per_step": args.n_cali,
         "unet_sqnr_db_mean": round(float(np.mean(sqnrs)), 2),
