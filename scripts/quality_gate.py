@@ -86,9 +86,14 @@ def main():
             resolution=meta["resolution"], ch=meta["ch"],
             ch_mult=tuple(meta["ch_mult"]),
             num_res_blocks=meta["num_res_blocks"],
-            attn_resolutions=tuple(meta["attn_resolutions"]))
+            attn_resolutions=tuple(meta["attn_resolutions"]),
+            in_channels=meta.get("in_channels", 3))
+        # Sample with the schedule the model was TRAINED on — never the
+        # task default (a mismatch would silently corrupt every metric).
+        sched = {k: meta[k] for k in
+                 ("beta_schedule", "beta_start", "beta_end") if k in meta}
         task = dc.replace(task, unet=cfg,
-                          num_timesteps=meta["timesteps"])
+                          num_timesteps=meta["timesteps"], **sched)
         assert task.family == "ddim", "--ckpt is a ddim_unet npz"
 
     if task.family == "ddim":

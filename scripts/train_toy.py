@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--out", default="runs/toy_ddpm.npz")
     ap.add_argument("--dp", type=int, default=0,
                     help="shard the batch over a dp mesh axis")
+    ap.add_argument("--sample", default=None, metavar="PNGDIR",
+                    help="after training, write a grid of EMA DDIM "
+                         "samples to PNGDIR/toy_samples.png")
     args = ap.parse_args()
 
     cfg = ddim_unet.DDIMUNetConfig(
@@ -83,10 +86,28 @@ def main():
         "kind": "ddim_unet", "resolution": args.res, "ch": args.ch,
         "ch_mult": list(cfg.ch_mult), "num_res_blocks": cfg.num_res_blocks,
         "attn_resolutions": list(cfg.attn_resolutions),
+        "in_channels": cfg.in_channels,
+        "beta_schedule": "linear", "beta_start": 1e-4, "beta_end": 0.02,
         "timesteps": args.timesteps, "train_steps": args.steps,
         "final_loss": float(np.mean(trace[-100:]))})
     print(f"saved EMA params -> {args.out}  "
           f"(loss {trace[0]:.1f} -> {np.mean(trace[-100:]):.1f})")
+
+    if args.sample:
+        from tfmq_dm_tpu.samplers.ddim import generalized_scan
+        from tfmq_dm_tpu.utils.schedules import skip_seq
+        seq = skip_seq("uniform", args.timesteps, 50)
+        k_x, k_s = jax.random.split(jax.random.PRNGKey(9))
+        x0 = jax.random.normal(
+            k_x, (64, args.res, args.res, cfg.in_channels))
+        last = jax.jit(lambda x, k: generalized_scan(
+            lambda xt, t, i: ddim_unet.apply(ema, cfg, xt, t),
+            betas, seq, x, k))(x0, k_s)
+        imgs = np.clip(np.asarray(last) * 0.5 + 0.5, 0, 1)
+        from tfmq_dm_tpu.pipelines.sampling import save_grid
+        path = os.path.join(args.sample, "toy_samples.png")
+        save_grid(imgs, path, n_rows=8)
+        print(f"sample grid -> {path}")
 
 
 if __name__ == "__main__":

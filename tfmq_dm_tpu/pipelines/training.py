@@ -161,17 +161,30 @@ def train(apply_fn: Callable, params: Dict, betas: np.ndarray,
         chunk = jax.jit(make_train_chunk(apply_fn, betas, hp,
                                          batch_fn=batch_fn))
 
-    n_chunks = -(-hp.steps // hp.chunk)
+    # A trailing partial chunk runs as its own (shorter) compiled scan so
+    # exactly hp.steps optimizer steps execute — never rounded up.
+    rem = hp.steps % hp.chunk
+    tail_chunk = None
+    if rem:
+        hp_tail = dataclasses.replace(hp, chunk=rem)
+        tail_fn = make_train_chunk(apply_fn, betas, hp_tail,
+                                   batch_fn=batch_fn)
+        tail_chunk = (jax.jit(tail_fn, out_shardings=(repl, repl))
+                      if mesh is not None else jax.jit(tail_fn))
+
     traces = []
-    for i in range(n_chunks):
+    done = 0
+    while done < hp.steps:
         key, k = jax.random.split(key)
-        state, losses = chunk(state, k)
+        fn = tail_chunk if (rem and hp.steps - done == rem) else chunk
+        state, losses = fn(state, k)
         losses = np.asarray(losses)
+        done += losses.shape[0]
         traces.append(losses)
         if log_fn is not None:
-            log_fn((i + 1) * hp.chunk, float(losses.mean()))
+            log_fn(done, float(losses.mean()))
     params, ema, _ = state
-    return params, ema, np.concatenate(traces)[: hp.steps]
+    return params, ema, np.concatenate(traces)
 
 
 # ---------------------------------------------------------------------------
@@ -185,8 +198,15 @@ def save_params(path: str, params: Dict, meta: Optional[dict] = None
     import json
     flat = {}
     for layer, st in params.items():
+        if "::" in layer:
+            raise ValueError(f"layer name {layer!r} contains the '::' "
+                             "separator; rename it before saving")
         if isinstance(st, dict):
             for k, v in st.items():
+                if "::" in k or isinstance(v, dict):
+                    raise ValueError(
+                        f"save_params expects a <=2-level pytree of "
+                        f"arrays; {layer}.{k} is {type(v).__name__}")
                 flat[f"p::{layer}::{k}"] = np.asarray(v)
         else:
             flat[f"p::{layer}::"] = np.asarray(st)
