@@ -72,6 +72,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="small-batch latency mode: 4-bit conv/linear "
                         "weights stay nibble-packed in HBM (half the "
                         "weight bandwidth; needs --int-kernels --wq 4)")
+    p.add_argument("--no-kv-cache", dest="no_kv_cache",
+                   action="store_true",
+                   help="recompute cross-attn K/V of the (constant) "
+                        "text/class context at every denoising step, as "
+                        "the reference does (attention.py:176-193). The "
+                        "default caches them per prompt; under FSC the "
+                        "cached projections use calibration group 0 — "
+                        "principled, since their input never depends "
+                        "on t")
     p.add_argument("--deploy_dtype", choices=("float32", "bfloat16"),
                    default="float32",
                    help="carrier dtype between deployed int8 ops: "
@@ -245,15 +254,15 @@ def main(argv=None) -> int:
         params = loading.load_ddim_checkpoint(args.ckpt, task.unet)
         vae_params = cond_params = None
 
-        def fp_apply_p(p, x, t, c=None, qctx=None):
+        def fp_apply_p(p, x, t, c=None, qctx=None, kv=None):
             return ddim_unet.apply(p, task.unet, x, t, qctx)
     else:
         params, vae_params, cond_params = loading.load_ldm_checkpoint(
             args.ckpt, task)
 
-        def fp_apply_p(p, x, t, c=None, qctx=None):
+        def fp_apply_p(p, x, t, c=None, qctx=None, kv=None):
             return ldm_unet.apply(p, task.unet, x, t, context=c,
-                                  qctx=qctx)
+                                  qctx=qctx, kv_cache=kv)
 
     def fp_apply(x, t, c=None, qctx=None):
         return fp_apply_p(params, x, t, c, qctx)
@@ -363,9 +372,36 @@ def main(argv=None) -> int:
     from .quant.context import QuantCtx
     from .quant.fsc import slice_fsc
 
+    # static-context cross-attn K/V cache: the context is constant over
+    # the rollout, so its to_k/to_v projections (+ act quant / int GEMM)
+    # execute once per prompt batch instead of once per sampler step
+    # (the reference recomputes them every step, attention.py:176-193)
+    bundle["kv"] = None
+    if (task.family != "ddim" and ctx is not None and ctx.ndim == 3
+            and task.unet.use_spatial_transformer
+            and not args.no_kv_cache):
+        c_in = jnp.concatenate([uc, ctx])
+        q0 = None
+        if args.ptq:
+            ast0 = {}
+            if args.use_aq and (astate or {}):
+                g0 = 0 if group_of_step is None else int(group_of_step[0])
+                ast0 = slice_fsc(astate, g0)
+            if args.int_kernels:
+                q0 = QuantCtx(adapter.policy, wstate={}, astate=ast0,
+                              use_wq=True, use_aq=args.use_aq,
+                              deploy=deployed, flash=True,
+                              act_out_dtype=deploy_dtype)
+            else:
+                q0 = QuantCtx(adapter.policy, wstate=wstate or {},
+                              astate=ast0, use_wq=True,
+                              use_aq=args.use_aq, flash=True)
+        bundle["kv"] = ldm_unet.build_cross_kv(params, task.unet, c_in,
+                                               qctx=q0)
+
     def apply_q(b, x, t, c, step):
         if not args.ptq:
-            return fp_apply_p(b["params"], x, t, c)
+            return fp_apply_p(b["params"], x, t, c, kv=b["kv"])
         ast = {}
         if args.use_aq and b["astate"]:
             g = step if b["gos"] is None else b["gos"][step]
@@ -379,7 +415,7 @@ def main(argv=None) -> int:
             qctx = QuantCtx(adapter.policy, wstate=b["wstate"],
                             astate=ast, use_wq=True, use_aq=args.use_aq,
                             flash=True)
-        return fp_apply_p(b["params"], x, t, c, qctx=qctx)
+        return fp_apply_p(b["params"], x, t, c, qctx=qctx, kv=b["kv"])
 
     if task.cond != "none":
         def model_fn(b, x, t, step):

@@ -418,18 +418,31 @@ def _attn_forward(params, s: Sub, x, qctx):
 
 
 def _cross_attn(params, prefix: str, x, context, heads: int, d_head: int,
-                qctx):
+                qctx, kv=None):
     """CrossAttention with TFMQ act-quant sites (cross_attn_forward,
-    quant_block.py:214-245). x: (B,Tq,C); context: (B,Tk,Cd) or None."""
+    quant_block.py:214-245). x: (B,Tq,C); context: (B,Tk,Cd) or None.
+
+    ``kv``: optional precomputed ``(k, v)`` in (B,Tk,heads,d_head) — the
+    static-context cache (:func:`build_cross_kv`). The reference (and a
+    naive port) recomputes ``to_k(context)``/``to_v(context)`` at every
+    denoising step even though the text context is constant per prompt
+    (attention.py:176-193, recomputed 50x by the samplers); here the
+    projections and their act quantization hoist out of the sampler scan
+    entirely."""
     q = qfunc.qlinear(qctx, f"{prefix}.to_q", x, params[f"{prefix}.to_q"])
-    ctx = x if context is None else context
-    k = qfunc.qlinear(qctx, f"{prefix}.to_k", ctx, params[f"{prefix}.to_k"])
-    v = qfunc.qlinear(qctx, f"{prefix}.to_v", ctx, params[f"{prefix}.to_v"])
     b, tq, _ = q.shape
-    tk = k.shape[1]
     q = q.reshape(b, tq, heads, d_head)
-    k = k.reshape(b, tk, heads, d_head)
-    v = v.reshape(b, tk, heads, d_head)
+    if kv is not None:
+        k, v = kv
+    else:
+        ctx = x if context is None else context
+        k = qfunc.qlinear(qctx, f"{prefix}.to_k", ctx,
+                          params[f"{prefix}.to_k"])
+        v = qfunc.qlinear(qctx, f"{prefix}.to_v", ctx,
+                          params[f"{prefix}.to_v"])
+        tk = k.shape[1]
+        k = k.reshape(b, tk, heads, d_head)
+        v = v.reshape(b, tk, heads, d_head)
     out = attn_ops.qsm_attention(
         q, k, v, d_head ** -0.5, qctx,
         {"q": f"{prefix}.aqtizer_q", "k": f"{prefix}.aqtizer_k",
@@ -441,16 +454,18 @@ def _cross_attn(params, prefix: str, x, context, heads: int, d_head: int,
 
 
 def _transformer_block(params, prefix: str, x, context, heads, d_head,
-                       qctx):
+                       qctx, kv_cache=None):
     """BasicTransformerBlock._forward (attention.py:209-213)."""
     if qctx is not None:
         qctx.tap(prefix, "in", (x, context))
     x = _cross_attn(params, f"{prefix}.attn1",
                     _lnorm(params[f"{prefix}.norm1"], x), None, heads,
                     d_head, qctx) + x
+    kv = None if (kv_cache is None or context is None) else \
+        kv_cache.get(f"{prefix}.attn2")
     x = _cross_attn(params, f"{prefix}.attn2",
                     _lnorm(params[f"{prefix}.norm2"], x), context, heads,
-                    d_head, qctx) + x
+                    d_head, qctx, kv=kv) + x
     h = _lnorm(params[f"{prefix}.norm3"], x)
     h = qfunc.qlinear(qctx, f"{prefix}.ff.net.0.proj", h,
                       params[f"{prefix}.ff.net.0.proj"])
@@ -464,7 +479,7 @@ def _transformer_block(params, prefix: str, x, context, heads, d_head,
     return x
 
 
-def _strans_forward(params, s: Sub, x, context, qctx):
+def _strans_forward(params, s: Sub, x, context, qctx, kv_cache=None):
     """SpatialTransformer.forward (attention.py:241-260)."""
     b, hh, ww, c = x.shape
     x_in = x
@@ -479,7 +494,8 @@ def _strans_forward(params, s: Sub, x, context, qctx):
     h = h.reshape(b, hh * ww, inner)
     for d in range(s.depth):
         h = _transformer_block(params, f"{s.prefix}.transformer_blocks.{d}",
-                               h, context, s.heads, s.d_head, qctx)
+                               h, context, s.heads, s.d_head, qctx,
+                               kv_cache=kv_cache)
     h = h.reshape(b, hh, ww, inner)
     name_out = f"{s.prefix}.proj_out"
     if qctx is not None:
@@ -540,9 +556,12 @@ def tib_forward(params, cfg: LDMUNetConfig, t: jax.Array,
 def apply(params: Dict[str, dict], cfg: LDMUNetConfig, x: jax.Array,
           t: jax.Array, context: Optional[jax.Array] = None,
           y: Optional[jax.Array] = None,
-          qctx: Optional[QuantCtx] = None) -> jax.Array:
+          qctx: Optional[QuantCtx] = None,
+          kv_cache: Optional[Dict[str, tuple]] = None) -> jax.Array:
     """UNetModel.forward (openaimodel.py:744-780). x: (B,H,W,C) NHWC;
-    t: (B,); context: (B,T,Cd) for cross-attention; y: (B,) labels."""
+    t: (B,); context: (B,T,Cd) for cross-attention; y: (B,) labels.
+    ``kv_cache``: static-context cross-attn K/V from
+    :func:`build_cross_kv` (context constant over sampler steps)."""
     emb = time_embedding(params, cfg, t, y, qctx)
     silu_emb = fnn.swish(emb)
 
@@ -560,7 +579,8 @@ def apply(params: Dict[str, dict], cfg: LDMUNetConfig, x: jax.Array,
         if s.kind == "attn":
             return _attn_forward(params, s, h, qctx)
         if s.kind == "strans":
-            return _strans_forward(params, s, h, context, qctx)
+            return _strans_forward(params, s, h, context, qctx,
+                                   kv_cache=kv_cache)
         if s.kind == "down":
             return _downsample(params, s, h)
         if s.kind == "up":
@@ -583,6 +603,58 @@ def apply(params: Dict[str, dict], cfg: LDMUNetConfig, x: jax.Array,
     h = _norm(params["out.0"], h)
     h = fnn.swish(h)
     return qfunc.qconv2d(qctx, "out.2", h, params["out.2"])
+
+
+def cross_attn_prefixes(cfg: LDMUNetConfig) -> List[str]:
+    """Dotted prefixes of every context-fed cross-attention (attn2) in
+    forward order — the keys of a :func:`build_cross_kv` cache."""
+    inputs, middle, outputs = build_structure(cfg)
+    out = []
+    for group in list(inputs) + [middle] + list(outputs):
+        for s in group:
+            if s.kind != "strans":
+                continue
+            for d in range(s.depth):
+                out.append(f"{s.prefix}.transformer_blocks.{d}.attn2")
+    return out
+
+
+def build_cross_kv(params: Dict[str, dict], cfg: LDMUNetConfig,
+                   context: jax.Array,
+                   qctx: Optional[QuantCtx] = None) -> Dict[str, tuple]:
+    """Precompute every cross-attention K/V projection of a CONSTANT
+    context — once per prompt instead of once per denoising step.
+
+    The reference recomputes ``to_k(context)``/``to_v(context)`` (and,
+    quantized, re-fake-quants the context) inside each of the sampler's
+    50 steps (attention.py:176-193 via openaimodel.py:744-780); hoisting
+    them out of the step is free restructuring because the text/class
+    context never changes within a rollout. Under FSC the to_k/to_v
+    input quantizers become timestep-STATIC sites: their input does not
+    depend on t, so per-timestep calibration observes the same data in
+    every group and collapses to one set of params — the cache is built
+    with one designated FSC group (callers pass a group-sliced ``qctx``)
+    and both the fake-quant sim and the deployed path use the same
+    cache, preserving bit-exactness between them.
+
+    Returns {attn2_prefix: (k, v)} with k/v in (B, Tk, heads, d_head).
+    """
+    inputs, middle, outputs = build_structure(cfg)
+    cache: Dict[str, tuple] = {}
+    b, tk = context.shape[0], context.shape[1]
+    for group in list(inputs) + [middle] + list(outputs):
+        for s in group:
+            if s.kind != "strans":
+                continue
+            for d in range(s.depth):
+                prefix = f"{s.prefix}.transformer_blocks.{d}.attn2"
+                k = qfunc.qlinear(qctx, f"{prefix}.to_k", context,
+                                  params[f"{prefix}.to_k"])
+                v = qfunc.qlinear(qctx, f"{prefix}.to_v", context,
+                                  params[f"{prefix}.to_v"])
+                cache[prefix] = (k.reshape(b, tk, s.heads, s.d_head),
+                                 v.reshape(b, tk, s.heads, s.d_head))
+    return cache
 
 
 def diffusion_wrapper(params: Dict[str, dict], cfg: LDMUNetConfig,

@@ -346,8 +346,9 @@ def build_adapter(cfg: ldm_unet.LDMUNetConfig,
                               w_bits=w_bits, a_bits=a_bits,
                               softmax_a_bit=softmax_a_bit, w_sym=w_sym)
 
-    def forward(params, ctx, x, t, c=None, y=None):
-        return ldm_unet.apply(params, cfg, x, t, context=c, y=y, qctx=ctx)
+    def forward(params, ctx, x, t, c=None, y=None, kv_cache=None):
+        return ldm_unet.apply(params, cfg, x, t, context=c, y=y, qctx=ctx,
+                              kv_cache=kv_cache)
 
     return ModelAdapter(policy=policy,
                         units=list(build_units(cfg, use_aq)),

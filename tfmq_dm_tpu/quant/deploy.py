@@ -253,20 +253,38 @@ def make_deployed_model_fn(adapter: ModelAdapter, params,
                            deployed: Dict[str, int_ops.IntWeight],
                            astate_batched: Optional[Dict] = None, *,
                            use_aq: bool = False, group_of_step=None,
-                           act_dtype=jnp.float32) -> Callable:
+                           act_dtype=jnp.float32,
+                           kv_cache_fn=None) -> Callable:
     """model_fn(x, t, step) that executes int8 convs/matmuls. FSC act
-    params are sliced per step like the fake-quant path."""
+    params are sliced per step like the fake-quant path.
+
+    ``kv_cache_fn``: optional ``(qctx) -> cache`` (see
+    quant/inference.make_model_fn) — called once with a group-0 deployed
+    ctx so the constant-context cross-attn K/V (int8 GEMM + dequant +
+    context act-quant) execute once per prompt, not once per step."""
     if group_of_step is not None:
         group_of_step = jnp.asarray(group_of_step, jnp.int32)
+
+    def make_ctx(astate):
+        return QuantCtx(adapter.policy, wstate={}, astate=astate,
+                        use_wq=True, use_aq=use_aq, deploy=deployed,
+                        act_out_dtype=act_dtype, flash=True)
+
+    kv_cache = None
+    if kv_cache_fn is not None:
+        astate0 = slice_fsc(astate_batched, 0) \
+            if (use_aq and astate_batched) else {}
+        kv_cache = kv_cache_fn(make_ctx(astate0))
 
     def model_fn(x, t, step, *cond):
         astate = {}
         if use_aq and astate_batched is not None:
             g = step if group_of_step is None else group_of_step[step]
             astate = slice_fsc(astate_batched, g)
-        ctx = QuantCtx(adapter.policy, wstate={}, astate=astate,
-                       use_wq=True, use_aq=use_aq, deploy=deployed,
-                       act_out_dtype=act_dtype, flash=True)
+        ctx = make_ctx(astate)
+        if kv_cache is not None:
+            return adapter.forward(params, ctx, x, t, *cond,
+                                   kv_cache=kv_cache)
         return adapter.forward(params, ctx, x, t, *cond)
 
     return model_fn

@@ -21,15 +21,31 @@ from .fsc import slice_fsc
 def make_model_fn(adapter: ModelAdapter, params, wstate: Optional[Dict],
                   astate_batched: Optional[Dict] = None, *,
                   use_wq: bool = True, use_aq: bool = False,
-                  group_of_step=None) -> Callable:
+                  group_of_step=None, kv_cache_fn=None) -> Callable:
     """Returns ``model_fn(x, t, step) -> eps`` for the scan samplers.
 
     ``group_of_step``: optional int array mapping sampler step index ->
     FSC group (identity when None — the DDIM convention ``act_{cnt}``,
     denoising.py:26-29; LDM uses a t-derived map, ddpm.py:1403-1405).
+
+    ``kv_cache_fn``: optional ``(qctx) -> cache`` building the
+    static-context cross-attn K/V cache (ldm_unet.build_cross_kv). It is
+    called ONCE here with a group-0 ctx — the context-fed to_k/to_v
+    sites are timestep-static (their input doesn't depend on t), so one
+    FSC group's params represent all of them — and the cache rides the
+    model_fn closure, hoisting those projections out of the sampler scan.
     """
     if group_of_step is not None:
         group_of_step = jnp.asarray(group_of_step, jnp.int32)
+
+    kv_cache = None
+    if kv_cache_fn is not None:
+        astate0 = slice_fsc(astate_batched, 0) \
+            if (use_aq and astate_batched) else {}
+        ctx0 = QuantCtx(adapter.policy, wstate=wstate or {},
+                        astate=astate0, use_wq=use_wq, use_aq=use_aq,
+                        flash=True)
+        kv_cache = kv_cache_fn(ctx0)
 
     def model_fn(x, t, step, *cond):
         astate = {}
@@ -38,6 +54,9 @@ def make_model_fn(adapter: ModelAdapter, params, wstate: Optional[Dict],
             astate = slice_fsc(astate_batched, g)
         ctx = QuantCtx(adapter.policy, wstate=wstate or {}, astate=astate,
                        use_wq=use_wq, use_aq=use_aq, flash=True)
+        if kv_cache is not None:
+            return adapter.forward(params, ctx, x, t, *cond,
+                                   kv_cache=kv_cache)
         return adapter.forward(params, ctx, x, t, *cond)
 
     return model_fn
