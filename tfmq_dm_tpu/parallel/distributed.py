@@ -21,8 +21,13 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Idempotent multi-host init. On single-host (or when already
-    initialized) this is a no-op."""
-    if jax.process_count() > 1:
+    initialized) this is a no-op.
+
+    Must not touch `jax.process_count()` (or any device API) before
+    `jax.distributed.initialize`: querying it initializes the local
+    backend, after which distributed init raises RuntimeError and the
+    process silently stays single-host."""
+    if jax.distributed.is_initialized():
         return
     try:
         jax.distributed.initialize(
