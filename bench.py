@@ -42,7 +42,10 @@ N_SHORT, N_LONG, REPS = 20, 220, 4
 
 
 def _steps_per_sec(step_fn, params, x, t, batch):
-    """step_fn(params, x, t) -> x. Returns image-denoise-steps/sec."""
+    """step_fn(params, x, t) -> x. Returns a list of REPS per-rep
+    image-denoise-steps/sec estimates (callers report min/median so the
+    tunnel's ±10% noise is visible in the artifact, not hidden in a
+    single scalar)."""
 
     def chain(n):
         def run(p, x, t):
@@ -53,7 +56,7 @@ def _steps_per_sec(step_fn, params, x, t, batch):
     c_short, c_long = chain(N_SHORT), chain(N_LONG)
     np.asarray(c_short(params, x, t))  # compile + warm
     np.asarray(c_long(params, x, t))
-    best = float("inf")
+    reps = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         np.asarray(c_short(params, x, t))
@@ -61,8 +64,15 @@ def _steps_per_sec(step_fn, params, x, t, batch):
         t0 = time.perf_counter()
         np.asarray(c_long(params, x, t))
         d2 = time.perf_counter() - t0
-        best = min(best, (d2 - d1) / (N_LONG - N_SHORT))
-    return batch / best
+        reps.append(batch * (N_LONG - N_SHORT) / (d2 - d1))
+    return reps
+
+
+def _spread(reps):
+    s = sorted(reps)
+    return {"best": round(s[-1], 2),
+            "median": round(s[len(s) // 2], 2),
+            "reps": [round(r, 2) for r in s]}
 
 
 def main():
@@ -78,7 +88,7 @@ def main():
 
     # bf16 FP baseline
     params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    fp_tp = _steps_per_sec(
+    fp_reps = _steps_per_sec(
         lambda p, xx, tt: ddim_unet.apply(
             p, cfg, xx.astype(jnp.bfloat16), tt).astype(jnp.float32),
         params_bf16, x, t, b)
@@ -92,7 +102,7 @@ def main():
                                           specialize_maps)
     from tfmq_dm_tpu.quant.fsc import _fsc_init
 
-    def quantized_tp(w_bits: int) -> float:
+    def quantized_tp(w_bits: int) -> list:
         # symmetric weight grids are the deployment default: bit-exact
         # vs their own fake-quant sim, FID-equivalent at 8 bits, and the
         # weight-zero-point activation-sum correction vanishes
@@ -124,9 +134,16 @@ def main():
         return _steps_per_sec(q_step, (params_q, deployed, astate),
                               x, t, b)
 
-    q8_tp = quantized_tp(8)
-    q4_tp = quantized_tp(4)
+    q8_reps = quantized_tp(8)
+    q4_reps = quantized_tp(4)
 
+    # headline = best-of-reps (matches prior rounds' methodology); the
+    # full per-rep spread rides in extra so the ±10% tunnel noise is
+    # auditable against the vs_baseline claim
+    fp_tp, q8_tp, q4_tp = max(fp_reps), max(q8_reps), max(q4_reps)
+    fp_med = sorted(fp_reps)[len(fp_reps) // 2]
+    q4_med = sorted(q4_reps)[len(q4_reps) // 2]
+    q8_med = sorted(q8_reps)[len(q8_reps) // 2]
     print(json.dumps({
         "metric": "cifar10_unet_w4a8_denoise_steps_per_sec_per_chip",
         "value": round(q4_tp, 2),
@@ -136,6 +153,11 @@ def main():
             "w8a8_steps_per_sec": round(q8_tp, 2),
             "w8a8_vs_baseline": round(q8_tp / fp_tp, 4),
             "bf16_fp_steps_per_sec": round(fp_tp, 2),
+            "w4a8_vs_baseline_median": round(q4_med / fp_med, 4),
+            "w8a8_vs_baseline_median": round(q8_med / fp_med, 4),
+            "spread": {"bf16_fp": _spread(fp_reps),
+                       "w4a8": _spread(q4_reps),
+                       "w8a8": _spread(q8_reps)},
         },
     }))
 

@@ -135,6 +135,7 @@ def test_specialize_maps_exact(setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_deployed_matches_fake_quant_wide_bits_w16a16():
     """>8-bit grids can't ride the int8 paths (codes wrap in the int8
     cast); deployment must fall back to offline fake-quant weights +

@@ -186,3 +186,33 @@ def test_dp_recon_resume(setup, tmp_path):
         if "alpha" in st:
             np.testing.assert_allclose(np.asarray(st["alpha"]),
                                        np.asarray(w2[name]["alpha"]))
+
+
+@pytest.mark.slow
+def test_act_recon_dp_mesh(setup):
+    """Act-phase reconstruction under the dp mesh (the second shard_map
+    site, recon.py::_act_run): deltas move, losses finite, vma checking
+    enabled."""
+    params, adapter, cali = setup
+    from tfmq_dm_tpu.quant.context import QuantCtx
+    wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
+    ctx = QuantCtx(adapter.policy, wstate=wstate, use_wq=True,
+                   use_aq=True, act_mode="init")
+    x, t = cali
+    adapter.forward(params, ctx, x[:8], t[:8])
+    astate = dict(ctx.out_astate)
+    unit = adapter.unit_by_name("mid.block_1")
+    inputs, outputs = recon.capture_unit_io(adapter, unit, params, cali,
+                                            wstate, astate, use_aq=True)
+    mesh = make_mesh(dp=8, tp=1)
+    hp = ReconHP(iters=8, batch_size=16)
+    out, losses = recon.reconstruct_unit_act(
+        adapter, unit, params, wstate, astate, inputs, outputs, hp,
+        jax.random.PRNGKey(5), mesh=mesh)
+    assert set(out) == set(astate)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    moved = any(
+        not np.array_equal(np.asarray(out[s]["delta"]),
+                           np.asarray(astate[s]["delta"]))
+        for s in out)
+    assert moved, "no act delta was updated under the mesh"

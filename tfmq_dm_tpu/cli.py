@@ -69,9 +69,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="deploy real int8 MXU kernels")
     p.add_argument("--int4-serving", dest="int4_serving",
                    action="store_true",
-                   help="small-batch latency mode: 4-bit conv/linear "
-                        "weights stay nibble-packed in HBM (half the "
-                        "weight bandwidth; needs --int-kernels --wq 4)")
+                   help="EXPERIMENTAL: keep 4-bit conv/linear weights "
+                        "nibble-packed in HBM (half the weight "
+                        "bandwidth; needs --int-kernels --wq 4). "
+                        "Measured SLOWER than the default int8-code "
+                        "path at every batch size tried on v5e "
+                        "(docs/PERF.md) — weight HBM traffic is not "
+                        "the bottleneck there; use only on "
+                        "weight-bandwidth-bound hardware")
     p.add_argument("--no-kv-cache", dest="no_kv_cache",
                    action="store_true",
                    help="recompute cross-attn K/V of the (constant) "

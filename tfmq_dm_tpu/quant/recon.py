@@ -304,7 +304,10 @@ def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
         in_specs=(P(), P(), P(), data, data,
                   P() if fgrads is None else data, P(), P()),
         out_specs=(P(), P(), P()),
-        check_vma=False)
+        # vma checking stays ON: every replicated output is provably
+        # device-invariant (grads/losses go through pmean before any
+        # state update; the per-device RNG key is dropped)
+        check_vma=True)
     return run(alphas, opt_state, wstate_fixed, inputs, outputs, fgrads,
                key, iter0)
 
@@ -504,7 +507,8 @@ def _act_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
         in_specs=(P(), P(), data, data,
                   P() if fgrads is None else data, P()),
         out_specs=(P(), P()),
-        check_vma=False)
+        # vma checking ON — same argument as the weight phase above
+        check_vma=True)
     return run(deltas, opt_state, inputs, outputs, fgrads, key)
 
 
