@@ -19,7 +19,7 @@ import numpy as np
 from ..ops import int_ops
 from .adapter import ModelAdapter
 from .context import QuantCtx
-from .fsc import slice_fsc
+from .fsc import pack_fsc, slice_fsc, unpack_fsc
 from .policy import QuantPolicy
 
 PACK_BLOCK_N = 256
@@ -276,11 +276,17 @@ def make_deployed_model_fn(adapter: ModelAdapter, params,
             if (use_aq and astate_batched) else {}
         kv_cache = kv_cache_fn(make_ctx(astate0))
 
+    # one dynamic row slice per step instead of a gather per site
+    # (pack_fsc docstring; bit-exact vs slice_fsc)
+    packed = pack_fsc(astate_batched) \
+        if (use_aq and astate_batched) else None
+
     def model_fn(x, t, step, *cond):
         astate = {}
-        if use_aq and astate_batched is not None:
+        if packed is not None:
             g = step if group_of_step is None else group_of_step[step]
-            astate = slice_fsc(astate_batched, g)
+            flat, spec = packed
+            astate = unpack_fsc(flat[g], spec)
         ctx = make_ctx(astate)
         if kv_cache is not None:
             return adapter.forward(params, ctx, x, t, *cond,

@@ -21,6 +21,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .adapter import ModelAdapter
 from .context import QuantCtx
@@ -90,3 +91,34 @@ def slice_fsc(astate_batched: Dict, group_index) -> Dict:
     """Dynamic per-step slice of the batched FSC state — the jit-friendly
     replacement for the reference's per-step load_state_dict swap."""
     return jax.tree.map(lambda a: a[group_index], astate_batched)
+
+
+def pack_fsc(astate_batched: Dict):
+    """Flatten the batched FSC state {site: {delta: (G, ...), zp: (G,
+    ...)}} into one (G, L) float32 matrix plus a static unpack spec.
+
+    Slicing hundreds of per-site scalars with separate dynamic gathers
+    every sampler step shows up as fixed per-op overhead at small batch
+    (docs/PERF.md batch-1 analysis); packing reduces the per-step FSC
+    swap to ONE dynamic row slice + static (free) carves. All leaves are
+    small quantizer params (|zp| < 2**bits), exactly representable in
+    float32, so the round-trip is bit-exact — asserted by
+    tests/test_fsc_pack.py against slice_fsc."""
+    leaves, treedef = jax.tree_util.tree_flatten(astate_batched)
+    shapes = tuple(l.shape[1:] for l in leaves)
+    dtypes = tuple(l.dtype for l in leaves)
+    sizes = tuple(int(np.prod(s, dtype=np.int64)) for s in shapes)
+    g = leaves[0].shape[0]
+    flat = jnp.concatenate(
+        [l.reshape(g, -1).astype(jnp.float32) for l in leaves], axis=1)
+    return flat, (treedef, shapes, sizes, dtypes)
+
+
+def unpack_fsc(row: jax.Array, spec) -> Dict:
+    """Inverse of one packed row: static slices/reshapes/casts only."""
+    treedef, shapes, sizes, dtypes = spec
+    out, off = [], 0
+    for sh, sz, dt in zip(shapes, sizes, dtypes):
+        out.append(row[off:off + sz].reshape(sh).astype(dt))
+        off += sz
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .adapter import ModelAdapter
 from .context import QuantCtx
-from .fsc import slice_fsc
+from .fsc import pack_fsc, slice_fsc, unpack_fsc
 
 
 def make_model_fn(adapter: ModelAdapter, params, wstate: Optional[Dict],
@@ -47,11 +47,17 @@ def make_model_fn(adapter: ModelAdapter, params, wstate: Optional[Dict],
                         flash=True)
         kv_cache = kv_cache_fn(ctx0)
 
+    # one dynamic row slice per step instead of a gather per site
+    # (pack_fsc docstring; bit-exact vs slice_fsc)
+    packed = pack_fsc(astate_batched) \
+        if (use_aq and astate_batched) else None
+
     def model_fn(x, t, step, *cond):
         astate = {}
-        if use_aq and astate_batched is not None:
+        if packed is not None:
             g = step if group_of_step is None else group_of_step[step]
-            astate = slice_fsc(astate_batched, g)
+            flat, spec = packed
+            astate = unpack_fsc(flat[g], spec)
         ctx = QuantCtx(adapter.policy, wstate=wstate or {}, astate=astate,
                        use_wq=use_wq, use_aq=use_aq, flash=True)
         if kv_cache is not None:
