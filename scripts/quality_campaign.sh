@@ -9,7 +9,10 @@
 #   64 i.i.d. samples/step already gives >=2 disjoint batches per group;
 #   raising to 256 quadruples harvest + capture cost for no measured
 #   metric change on these model sizes (see runs/quality_*.json).
-set -e
+# No `set -e`: the shared tunnel TPU occasionally crashes mid-gate
+# ("TPU worker process crashed or restarted"); each gate retries and the
+# campaign resumes by skipping rows whose JSON artifact already exists.
+set -u
 cd "$(dirname "$0")/.."
 # Prepend, never clobber: the TPU plugin lives on PYTHONPATH (e.g.
 # /root/.axon_site); `PYTHONPATH=.` alone makes the axon backend
@@ -26,11 +29,27 @@ if [ ! -f "$CKPT" ]; then
     --sample runs 2>&1 | tee runs/logs/train_toy.log
 fi
 
+FAILED=""
 run_gate () {  # run_gate <tag> <args...>
   local tag=$1; shift
-  echo "=== quality_gate $tag ==="
-  python scripts/quality_gate.py "$@" --iters "$ITERS" --n-cali "$NCALI" \
-    --json "runs/quality_${tag}.json" 2>&1 | tee "runs/logs/gate_${tag}.log"
+  local out="runs/quality_${tag}.json"
+  if [ -s "$out" ]; then
+    echo "=== quality_gate $tag: $out exists, skipping ==="
+    return 0
+  fi
+  local attempt
+  for attempt in 1 2 3; do
+    echo "=== quality_gate $tag (attempt $attempt) ==="
+    if python scripts/quality_gate.py "$@" --iters "$ITERS" --n-cali "$NCALI" \
+         --json "$out" 2>&1 | tee "runs/logs/gate_${tag}.log"; then
+      [ -s "$out" ] && return 0
+    fi
+    rm -f "$out"
+    echo "gate $tag attempt $attempt failed; sleeping 60s before retry"
+    sleep 60
+  done
+  FAILED="$FAILED $tag"
+  return 1
 }
 
 run_gate cifar10_w8a8  cifar10 --wq 8
@@ -41,5 +60,6 @@ run_gate toy_w8a8  --ckpt "$CKPT" --wq 8 --fd 256
 run_gate toy_w4a8  --ckpt "$CKPT" --wq 4 --fd 256
 run_gate toy_w4a32 --ckpt "$CKPT" --wq 4 --no-aq --fd 256
 
-echo "campaign done:"
+echo "campaign done (failed gates:${FAILED:-' none'})"
 ls -la runs/quality_*.json
+[ -z "$FAILED" ]
