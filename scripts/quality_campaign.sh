@@ -38,11 +38,15 @@ run_gate () {  # run_gate <tag> <args...>
     return 0
   fi
   local attempt
-  for attempt in 1 2 3; do
+  for attempt in 1 2 3 4 5 6 7 8; do
     echo "=== quality_gate $tag (attempt $attempt) ==="
     if python scripts/quality_gate.py "$@" --iters "$ITERS" --n-cali "$NCALI" \
+         --resume-dir "runs/resume_${tag}" \
          --json "$out" 2>&1 | tee "runs/logs/gate_${tag}.log"; then
-      [ -s "$out" ] && return 0
+      if [ -s "$out" ]; then
+        rm -rf "runs/resume_${tag}"
+        return 0
+      fi
     fi
     rm -f "$out"
     echo "gate $tag attempt $attempt failed; sleeping 60s before retry"

@@ -45,6 +45,39 @@ from tfmq_dm_tpu.quant.recon import ReconHP
 from tfmq_dm_tpu.utils.metrics import psnr, sqnr_db
 
 
+def _cond_setup(task, key, n):
+    """(context, uncond) for conditioned tasks, from RANDOM-INIT
+    encoders + deterministic stub-tokenized synthetic prompts (no
+    checkpoint is reachable here; the point is mechanism fidelity of
+    the conditioned quant pipeline, mirroring cli._get_context)."""
+    import jax.numpy as jnp
+    from tfmq_dm_tpu.models import clip_text
+    if task.cond == "class":
+        # ClassEmbedder table (reference: encoders/modules.py:21-33);
+        # last row is the CFG unconditional class
+        emb_dim = task.unet.context_dim
+        table = 0.02 * jax.random.normal(key, (1001, emb_dim))
+        y = jnp.arange(n, dtype=jnp.int32) % 1000
+        return (clip_text.class_embed(table, y),
+                clip_text.class_embed(table,
+                                      jnp.full((n,), 1000, jnp.int32)))
+    prompts = [f"a synthetic scene number {i}" for i in range(n)]
+    if getattr(task, "bert", None) is not None:
+        from tfmq_dm_tpu.models import bert_text
+        bcfg = task.bert
+        p = bert_text.init_params(key, bcfg)
+        return (bert_text.apply(p, bcfg,
+                                bert_text.stub_tokenize(prompts, bcfg)),
+                bert_text.apply(p, bcfg,
+                                bert_text.stub_tokenize([""] * n, bcfg)))
+    ccfg = task.clip or clip_text.vit_l_14_config()
+    p = clip_text.init_params(key, ccfg)
+    return (clip_text.apply(p, ccfg,
+                            clip_text.stub_tokenize(prompts, ccfg)),
+            clip_text.apply(p, ccfg,
+                            clip_text.stub_tokenize([""] * n, ccfg)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("task", nargs="?", default="cifar10")
@@ -60,6 +93,10 @@ def main():
                     help="weight-only quantization (the w4a32 BASELINE "
                          "configs): no act quantizers, no FSC")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--resume-dir", default=None,
+                    help="per-unit recon checkpoints; a retry after a "
+                         "TPU-worker crash resumes instead of "
+                         "restarting (quant/recon.py resume_dir)")
     ap.add_argument("--ckpt", default=None,
                     help="trained ddim_unet params npz "
                          "(scripts/train_toy.py output); random init "
@@ -121,10 +158,16 @@ def main():
 
     print(f"[{task.name}] harvesting cali data "
           f"({args.n_cali}/step)...", file=sys.stderr)
-    key, k = jax.random.split(key)
+    key, kc, k = jax.random.split(key, 3)
+    cali_ctx = cali_uc = None
+    scale = None
+    if task.cond != "none":
+        cali_ctx, cali_uc = _cond_setup(task, kc, args.n_cali)
+        scale = task.cfg_scale
     w_cali, a_cali, cali_t = ptq.generate_cali_data(
         task, lambda x, t, c: fp_apply(x, t, c), k,
-        n_per_t=args.n_cali, steps=args.steps)
+        n_per_t=args.n_cali, steps=args.steps,
+        context=cali_ctx, uncond=cali_uc, cfg_scale=scale)
 
     print(f"[{task.name}] calibrating w{args.wq}a{args.aq} "
           f"({args.iters} iters/unit)...", file=sys.stderr)
@@ -132,20 +175,39 @@ def main():
                                                   args.n_cali))
     key, k = jax.random.split(key)
     wstate, astate = cali_model(adapter, params, w_cali, a_cali, hp=hp,
-                                use_aq=use_aq, key=k)
+                                use_aq=use_aq, key=k,
+                                resume_dir=args.resume_dir)
 
     # rollouts on identical latents/seed
     sampler_fn, _ = ptq.make_schedule(task, steps=args.steps)
     key, kx, ks = jax.random.split(key, 3)
     x0 = jax.random.normal(kx, (args.batch, res, res, chans))
 
+    roll_ctx = roll_uc = None
+    if task.cond != "none":
+        key, kc2 = jax.random.split(key)
+        roll_ctx, roll_uc = _cond_setup(task, kc2, args.batch)
+
+    def _cfg(apply_once, x, t):
+        # double-batched CFG, as in inference (cli.py / ddim.py:178-185)
+        x_in = jnp.concatenate([x, x])
+        t_in = jnp.concatenate([t, t])
+        c_in = jnp.concatenate([roll_uc, roll_ctx])
+        e_uc, e_c = jnp.split(apply_once(x_in, t_in, c_in), 2)
+        return e_uc + scale * (e_c - e_uc)
+
     def fp_model(x, t, step):
+        if roll_ctx is not None:
+            return _cfg(lambda xi, ti, ci: fp_apply(xi, ti, ci), x, t)
         return fp_apply(x, t)
 
     def q_model(x, t, step):
         ast = slice_fsc(astate, step) if astate else {}
         qctx = QuantCtx(adapter.policy, wstate=wstate, astate=ast,
                         use_wq=True, use_aq=use_aq, flash=True)
+        if roll_ctx is not None:
+            return _cfg(lambda xi, ti, ci: fp_apply(xi, ti, ci,
+                                                    qctx=qctx), x, t)
         return fp_apply(x, t, qctx=qctx)
 
     fp_last, (fp_xs, fp_ts) = jax.jit(
