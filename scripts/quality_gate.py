@@ -174,9 +174,23 @@ def main():
     hp = ReconHP(iters=args.iters, batch_size=min(task.recon_batch,
                                                   args.n_cali))
     key, k = jax.random.split(key)
-    wstate, astate = cali_model(adapter, params, w_cali, a_cali, hp=hp,
-                                use_aq=use_aq, key=k,
-                                resume_dir=args.resume_dir)
+    # cache the finished calibration next to the per-unit resume
+    # checkpoints: a TPU-worker crash during the rollout/metric phases
+    # below then skips recalibration entirely on retry
+    cali_art = None
+    if args.resume_dir:
+        import os
+        cali_art = os.path.join(args.resume_dir, "cali_artifact.npz")
+    if cali_art and os.path.exists(cali_art):
+        from tfmq_dm_tpu.quant.calibrate import load_cali_model
+        print(f"[{task.name}] loading cached calibration {cali_art}",
+              file=sys.stderr)
+        wstate, astate, _ = load_cali_model(cali_art)
+    else:
+        wstate, astate = cali_model(adapter, params, w_cali, a_cali,
+                                    hp=hp, use_aq=use_aq, key=k,
+                                    resume_dir=args.resume_dir,
+                                    path=cali_art)
 
     # rollouts on identical latents/seed
     sampler_fn, _ = ptq.make_schedule(task, steps=args.steps)

@@ -316,3 +316,52 @@ def test_reconstruct_act_driver(setup):
                                 tuple(x[:8] for x in w_cali),
                                 wstate, astate, hp, jax.random.PRNGKey(6))
     assert set(out) == set(astate)
+
+
+@pytest.mark.slow
+def test_midunit_crash_resume(setup, tmp_path, monkeypatch):
+    """Segmented mid-unit checkpointing: a crash between segments
+    resumes from the ``.partial`` state and produces alphas identical
+    to an uninterrupted run (quant/recon.py RESUME_SEG_ITERS — on the
+    shared tunnel TPU the big decoder units cannot finish their full
+    schedule in one crash-free window, so per-unit resume alone is not
+    enough)."""
+    params, adapter, w_cali, _ = setup
+    monkeypatch.setattr(recon, "RESUME_SEG_ITERS", 4)
+    hp = ReconHP(iters=12, batch_size=4)
+    wstate0 = init_weight_qparams(adapter.policy, params, scaler="minmax")
+
+    d1 = str(tmp_path / "ok")
+    w_ok = recon.reconstruct(adapter, params, w_cali, dict(wstate0), hp,
+                             jax.random.PRNGKey(33), resume_dir=d1,
+                             capture_batch_size=16)
+
+    # crash after the 5th partial save: mid-way through the 2nd unit
+    d2 = str(tmp_path / "crashy")
+    saves = {"n": 0}
+    orig = recon._save_partial
+
+    def bomb(path, *a, **k):
+        orig(path, *a, **k)
+        saves["n"] += 1
+        if saves["n"] == 5:
+            raise RuntimeError("simulated TPU worker crash")
+
+    monkeypatch.setattr(recon, "_save_partial", bomb)
+    with pytest.raises(RuntimeError, match="simulated"):
+        recon.reconstruct(adapter, params, w_cali, dict(wstate0), hp,
+                          jax.random.PRNGKey(33), resume_dir=d2,
+                          capture_batch_size=16)
+    monkeypatch.setattr(recon, "_save_partial", orig)
+    assert any(f.endswith(".partial") for f in os.listdir(d2))
+
+    w_res = recon.reconstruct(adapter, params, w_cali, dict(wstate0), hp,
+                              jax.random.PRNGKey(33), resume_dir=d2,
+                              capture_batch_size=16)
+    # finished units drop their .partial files
+    assert not any(f.endswith(".partial") for f in os.listdir(d2))
+    for name, st in w_ok.items():
+        if "alpha" in st:
+            np.testing.assert_allclose(np.asarray(st["alpha"]),
+                                       np.asarray(w_res[name]["alpha"]),
+                                       atol=1e-7, err_msg=name)

@@ -318,6 +318,36 @@ def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
 HOST_OFFLOAD_BYTES = 8 << 30
 _HOST_CHUNK_BYTES = 2 << 30
 
+# When a unit is checkpointable (``partial_path``), its Adam schedule runs
+# as segments of at most this many iterations: each segment is a SEPARATE
+# device program (the shared tunnel TPU kills workers whose single program
+# runs for minutes — the big 32x32 decoder units at the full 20k-iter
+# budget were un-finishable in one window), and the partial optimizer
+# state is persisted after every segment so a worker crash resumes
+# mid-unit instead of restarting the unit.
+RESUME_SEG_ITERS = 2500
+
+
+def _save_partial(path: str, alphas, opt_state, it0: int, key) -> None:
+    """Atomically persist a mid-unit optimization state."""
+    import os
+    leaves = jax.tree.leaves((alphas, opt_state))
+    tmp = path + ".tmp.npz"  # np.savez appends .npz to bare names
+    np.savez(tmp, __it0=np.int64(it0), __key=np.asarray(key),
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    os.replace(tmp, path)
+
+
+def _load_partial(path: str, alphas, opt_state):
+    """Restore (alphas, opt_state, it0, key) saved by ``_save_partial``.
+    ``alphas``/``opt_state`` provide the pytree structure."""
+    data = np.load(path)
+    treedef = jax.tree.structure((alphas, opt_state))
+    leaves = [jnp.asarray(data[f"leaf_{i}"])
+              for i in range(treedef.num_leaves)]
+    alphas, opt_state = jax.tree.unflatten(treedef, leaves)
+    return alphas, opt_state, int(data["__it0"]), jnp.asarray(data["__key"])
+
 
 def _bytes_per_row(inputs, outputs) -> int:
     leaves = jax.tree.leaves(inputs) + jax.tree.leaves(outputs)
@@ -378,17 +408,51 @@ def _shard_samples(mesh, inputs, outputs, fgrads):
 
 def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
                      wstate, inputs, outputs, hp: ReconHP, key,
-                     fgrads=None, mesh=None):
+                     fgrads=None, mesh=None, partial_path=None):
     """Run weight-phase reconstruction for one unit; returns updated
     wstate (alphas written back under full layer names) and the loss
     trace. ``mesh``: run the Adam loop data-parallel over the mesh's
     "dp" axis (one driver for single-device and sharded reconstruction —
-    the reference forks cali_model vs cali_model_multi)."""
+    the reference forks cali_model vs cali_model_multi).
+
+    ``partial_path``: mid-unit checkpointing — the schedule runs as
+    ≤``RESUME_SEG_ITERS``-iteration device programs with (alphas,
+    opt_state, iter, key) persisted after each, so a TPU-worker crash
+    resumes inside the unit (and no single device program runs long
+    enough to trip the shared tunnel's watchdog)."""
+    import os
+
     prep = _prep_unit_states(adapter, unit, params, wstate)
     if prep is None:
         return wstate, None
     role_cfgs, uparams, fixed, alphas = prep
 
+    it0 = 0
+    opt_state = None
+    if partial_path is not None and os.path.exists(partial_path):
+        tmpl = optax.adam(hp.lr_alpha).init(alphas)
+        alphas, opt_state, it0, key = _load_partial(partial_path, alphas,
+                                                    tmpl)
+        logger.info("recon %s: resuming mid-unit at iter %d/%d",
+                    unit.name, it0, hp.iters)
+
+    def _segments(c_end, run):
+        """Advance it0 to ``c_end`` in ≤RESUME_SEG_ITERS programs, saving
+        the partial state after each (``run`` executes one segment)."""
+        nonlocal alphas, opt_state, it0, key
+        parts = []
+        while it0 < c_end:
+            seg = min(RESUME_SEG_ITERS, c_end - it0) \
+                if partial_path is not None else c_end - it0
+            key, k = jax.random.split(key)
+            alphas, opt_state, ls = run(k, it0, seg)
+            it0 += seg
+            parts.append(ls)
+            if partial_path is not None and jax.process_index() == 0:
+                _save_partial(partial_path, alphas, opt_state, it0, key)
+        return parts
+
+    loss_parts = []
     if isinstance(jax.tree.leaves(inputs)[0], np.ndarray):
         # host-offloaded cache: stream sample chunks to the device and
         # run the iteration schedule as segments over each chunk (the
@@ -405,11 +469,13 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
         n_chunks = -(-n // chunk_n)
         iters_per = [hp.iters // n_chunks] * n_chunks
         iters_per[-1] += hp.iters - sum(iters_per)
-        opt_state = None
-        it0 = 0
-        loss_parts = []
         perm = np.random.RandomState(0).permutation(n)
+        cum = 0
         for c in range(n_chunks):
+            c_end = cum + iters_per[c]
+            cum = c_end
+            if it0 >= c_end:
+                continue  # chunk finished before the crash
             # equal-size chunks (one compiled segment program); the last
             # chunk wraps to the front rather than shrinking
             sel = perm[(c * chunk_n + np.arange(chunk_n)) % n]
@@ -419,23 +485,19 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
                 np.asarray(fgrads)[sel])
             if mesh is not None:
                 cin, cout, cg = _shard_samples(mesh, cin, cout, cg)
-            key, k = jax.random.split(key)
-            alphas, opt_state, ls = _recon_run(
+            loss_parts += _segments(c_end, lambda k, i0, n_it: _recon_run(
                 adapter.unit_fwd, unit.kind, role_cfgs, unit.extra, hp,
                 uparams, fixed, alphas, cin, cout, k, cg,
-                opt_state=opt_state, iter0=it0, n_iters=iters_per[c],
-                mesh=mesh)
-            it0 += iters_per[c]
-            loss_parts.append(ls)
-        losses = jnp.concatenate(loss_parts)
+                opt_state=opt_state, iter0=i0, n_iters=n_it, mesh=mesh))
     else:
         if mesh is not None:
             inputs, outputs, fgrads = _shard_samples(mesh, inputs,
                                                      outputs, fgrads)
-        alphas, _, losses = _recon_run(
+        loss_parts += _segments(hp.iters, lambda k, i0, n_it: _recon_run(
             adapter.unit_fwd, unit.kind, role_cfgs, unit.extra, hp,
-            uparams, fixed, alphas, inputs, outputs, key, fgrads,
-            mesh=mesh)
+            uparams, fixed, alphas, inputs, outputs, k, fgrads,
+            opt_state=opt_state, iter0=i0, n_iters=n_it, mesh=mesh))
+    losses = jnp.concatenate(loss_parts) if loss_parts else None
     new_wstate = dict(wstate)
     for role, full in unit.layers:
         if role in alphas:
@@ -637,15 +699,20 @@ def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
                                         wstate, use_aq=hp.use_aq,
                                         batch_size=capture_batch_size)
         key, k = jax.random.split(key)
+        partial = _unit_path(unit.name) + ".partial" if resume_dir \
+            else None
         wstate, losses = reconstruct_unit(adapter, unit, params,
                                           wstate, inputs, outputs,
-                                          hp, k, fgrads, mesh=mesh)
+                                          hp, k, fgrads, mesh=mesh,
+                                          partial_path=partial)
         if resume_dir and jax.process_index() == 0:
             np.savez(_unit_path(unit.name),
                      **{f"{full}::alpha": np.asarray(
                          wstate[full]["alpha"])
                         for _, full in unit.layers
                         if "alpha" in wstate.get(full, {})})
+            if partial and os.path.exists(partial):
+                os.remove(partial)
         if log is not None and losses is not None:
             log(unit.name, losses)
     return wstate
