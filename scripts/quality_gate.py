@@ -133,22 +133,29 @@ def main():
                           num_timesteps=meta["timesteps"], **sched)
         assert task.family == "ddim", "--ckpt is a ddim_unet npz"
 
+    # _apply takes params EXPLICITLY: the rollout/metric jits below pass
+    # params/wstate/astate as arguments — closed-over arrays are baked
+    # into the HLO as constants, and the weight-sized AdaRound alphas
+    # blew past the remote-compile relay's request-size limit (HTTP 413)
     if task.family == "ddim":
         params = trained if trained is not None else \
             ddim_unet.init_params(jax.random.PRNGKey(7), task.unet)
 
-        def fp_apply(x, t, c=None, qctx=None):
-            return ddim_unet.apply(params, task.unet, x, t, qctx)
+        def _apply(p, x, t, c=None, qctx=None):
+            return ddim_unet.apply(p, task.unet, x, t, qctx)
         res = task.unet.resolution
         chans = task.unet.in_channels
     else:
         params = ldm_unet.init_params(jax.random.PRNGKey(7), task.unet)
 
-        def fp_apply(x, t, c=None, qctx=None):
-            return ldm_unet.apply(params, task.unet, x, t, context=c,
+        def _apply(p, x, t, c=None, qctx=None):
+            return ldm_unet.apply(p, task.unet, x, t, context=c,
                                   qctx=qctx)
         res = task.unet.image_size
         chans = task.unet.in_channels
+
+    def fp_apply(x, t, c=None, qctx=None):
+        return _apply(params, x, t, c, qctx)
 
     use_aq = not args.no_aq
     qargs = ptq.QuantArgs(wq=args.wq, aq=args.aq, use_aq=use_aq,
@@ -210,24 +217,28 @@ def main():
         e_uc, e_c = jnp.split(apply_once(x_in, t_in, c_in), 2)
         return e_uc + scale * (e_c - e_uc)
 
-    def fp_model(x, t, step):
+    def fp_model_p(p, x, t, step):
         if roll_ctx is not None:
-            return _cfg(lambda xi, ti, ci: fp_apply(xi, ti, ci), x, t)
-        return fp_apply(x, t)
+            return _cfg(lambda xi, ti, ci: _apply(p, xi, ti, ci), x, t)
+        return _apply(p, x, t)
 
-    def q_model(x, t, step):
-        ast = slice_fsc(astate, step) if astate else {}
-        qctx = QuantCtx(adapter.policy, wstate=wstate, astate=ast,
+    def q_model_p(p, wst, ast_b, x, t, step):
+        ast = slice_fsc(ast_b, step) if ast_b is not None else {}
+        qctx = QuantCtx(adapter.policy, wstate=wst, astate=ast,
                         use_wq=True, use_aq=use_aq, flash=True)
         if roll_ctx is not None:
-            return _cfg(lambda xi, ti, ci: fp_apply(xi, ti, ci,
-                                                    qctx=qctx), x, t)
-        return fp_apply(x, t, qctx=qctx)
+            return _cfg(lambda xi, ti, ci: _apply(p, xi, ti, ci,
+                                                  qctx=qctx), x, t)
+        return _apply(p, x, t, qctx=qctx)
 
-    fp_last, (fp_xs, fp_ts) = jax.jit(
-        lambda x, k: sampler_fn(fp_model, x, k, collect="traj"))(x0, ks)
-    q_last, (q_xs, _) = jax.jit(
-        lambda x, k: sampler_fn(q_model, x, k, collect="traj"))(x0, ks)
+    roll_fp_traj = jax.jit(lambda p, x, k: sampler_fn(
+        lambda xx, tt, ss: fp_model_p(p, xx, tt, ss), x, k,
+        collect="traj"))
+    roll_q_traj = jax.jit(lambda p, w, a, x, k: sampler_fn(
+        lambda xx, tt, ss: q_model_p(p, w, a, xx, tt, ss), x, k,
+        collect="traj"))
+    fp_last, (fp_xs, fp_ts) = roll_fp_traj(params, x0, ks)
+    q_last, (q_xs, _) = roll_q_traj(params, wstate, astate, x0, ks)
 
     # per-step UNet-output SQNR at the FP trajectory points (isolates
     # the net's fidelity from trajectory drift); one scanned program,
@@ -235,15 +246,17 @@ def main():
     n_steps = int(np.asarray(fp_ts).shape[0])
 
     @jax.jit
-    def eps_pairs(xs_all, ts_all):
+    def eps_pairs(p, w, a, xs_all, ts_all):
         def one(_, inp):
             xs, ts, i = inp
-            return 0, (fp_model(xs, ts, i), q_model(xs, ts, i))
+            return 0, (fp_model_p(p, xs, ts, i),
+                       q_model_p(p, w, a, xs, ts, i))
         _, pairs = jax.lax.scan(one, 0,
                                 (xs_all, ts_all, jnp.arange(n_steps)))
         return pairs
 
-    e_fp_all, e_q_all = eps_pairs(jnp.asarray(fp_xs),
+    e_fp_all, e_q_all = eps_pairs(params, wstate, astate,
+                                  jnp.asarray(fp_xs),
                                   jnp.asarray(fp_ts))
     e_fp_all = np.asarray(e_fp_all)
     e_q_all = np.asarray(e_q_all)
@@ -277,8 +290,12 @@ def main():
               file=sys.stderr)
         inc = init_inception_params(jax.random.PRNGKey(0))
         ext = make_extractor(inc)
-        roll_fp = jax.jit(lambda x, k: sampler_fn(fp_model, x, k))
-        roll_q = jax.jit(lambda x, k: sampler_fn(q_model, x, k))
+        roll_fp_j = jax.jit(lambda p, x, k: sampler_fn(
+            lambda xx, tt, ss: fp_model_p(p, xx, tt, ss), x, k))
+        roll_q_j = jax.jit(lambda p, w, a, x, k: sampler_fn(
+            lambda xx, tt, ss: q_model_p(p, w, a, xx, tt, ss), x, k))
+        roll_fp = lambda x, k: roll_fp_j(params, x, k)
+        roll_q = lambda x, k: roll_q_j(params, wstate, astate, x, k)
 
         def sample_set(roll, k0):
             imgs = []
