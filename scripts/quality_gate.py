@@ -163,39 +163,39 @@ def main():
                           cali_save_path=None, seed=0)
     adapter = ptq.build_adapter(task, qargs)
 
-    print(f"[{task.name}] harvesting cali data "
-          f"({args.n_cali}/step)...", file=sys.stderr)
-    key, kc, k = jax.random.split(key, 3)
-    cali_ctx = cali_uc = None
-    scale = None
-    if task.cond != "none":
-        cali_ctx, cali_uc = _cond_setup(task, kc, args.n_cali)
-        scale = task.cfg_scale
-    w_cali, a_cali, cali_t = ptq.generate_cali_data(
-        task, lambda x, t, c: fp_apply(x, t, c), k,
-        n_per_t=args.n_cali, steps=args.steps,
-        context=cali_ctx, uncond=cali_uc, cfg_scale=scale)
-
-    print(f"[{task.name}] calibrating w{args.wq}a{args.aq} "
-          f"({args.iters} iters/unit)...", file=sys.stderr)
-    hp = ReconHP(iters=args.iters, batch_size=min(task.recon_batch,
-                                                  args.n_cali))
-    key, k = jax.random.split(key)
     # cache the finished calibration next to the per-unit resume
     # checkpoints: a TPU-worker crash during the rollout/metric phases
-    # below then skips recalibration entirely on retry
+    # below then skips both the harvest and recalibration on retry
     cali_art = None
     if args.resume_dir:
         import os
         cali_art = os.path.join(args.resume_dir, "cali_artifact.npz")
+    key, kc, k_harvest, k_cali = jax.random.split(key, 4)
     if cali_art and os.path.exists(cali_art):
         from tfmq_dm_tpu.quant.calibrate import load_cali_model
         print(f"[{task.name}] loading cached calibration {cali_art}",
               file=sys.stderr)
         wstate, astate, _ = load_cali_model(cali_art)
     else:
+        print(f"[{task.name}] harvesting cali data "
+              f"({args.n_cali}/step)...", file=sys.stderr)
+        cali_ctx = cali_uc = None
+        scale = None
+        if task.cond != "none":
+            cali_ctx, cali_uc = _cond_setup(task, kc, args.n_cali)
+            scale = task.cfg_scale
+        w_cali, a_cali, _ = ptq.generate_cali_data(
+            task, lambda x, t, c: fp_apply(x, t, c), k_harvest,
+            n_per_t=args.n_cali, steps=args.steps,
+            context=cali_ctx, uncond=cali_uc, cfg_scale=scale)
+
+        print(f"[{task.name}] calibrating "
+              f"w{args.wq}a{32 if args.no_aq else args.aq} "
+              f"({args.iters} iters/unit)...", file=sys.stderr)
+        hp = ReconHP(iters=args.iters, batch_size=min(task.recon_batch,
+                                                      args.n_cali))
         wstate, astate = cali_model(adapter, params, w_cali, a_cali,
-                                    hp=hp, use_aq=use_aq, key=k,
+                                    hp=hp, use_aq=use_aq, key=k_cali,
                                     resume_dir=args.resume_dir,
                                     path=cali_art)
 

@@ -19,7 +19,9 @@ jax.config.update("jax_enable_x64", False)
 
 
 # ---------------------------------------------------------------------------
-# Test tiers: `pytest -q` runs the fast tier (<~15 min on CPU);
+# Test tiers: `pytest -q` runs the fast tier (measured 14m12s on an
+# otherwise-idle host CPU, 2026-08-19; scripts/test_shard.sh runs it
+# per-file in parallel in ~4 min);
 # `pytest --full` (or TFMQ_FULL_TESTS=1) adds the slow e2e tier.
 # ---------------------------------------------------------------------------
 
