@@ -6,6 +6,7 @@
 set -u
 cd "$(dirname "$0")/.."
 N=${1:-$(( $(nproc) / 2 ))}
+[ "$N" -lt 1 ] && N=1   # nproc=1 boxes: sequential, never 0 (div-by-zero)
 shift 2>/dev/null || true
 mkdir -p /tmp/test_shards
 fail=0
