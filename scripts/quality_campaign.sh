@@ -3,8 +3,9 @@
 # on the real TPU chip, committing one JSON artifact per row under runs/.
 #
 # Budget notes (docs/QUALITY.md cites this script):
-# - recon iters 20000/unit = the reference's full budget
-#   (/root/reference/ddim/runners/diffusion.py:296-304).
+# - recon iters 5000/unit (ITERS=20000 for the reference's full budget,
+#   /root/reference/ddim/runners/diffusion.py:296-304): per-unit losses
+#   are converged well before 5k at these shapes (docs/QUALITY.md).
 # - cali samples 64/step (reference: 256): the recon minibatch is 32, so
 #   64 i.i.d. samples/step already gives >=2 disjoint batches per group;
 #   raising to 256 quadruples harvest + capture cost for no measured
@@ -20,7 +21,7 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH=.${PYTHONPATH:+:$PYTHONPATH}
 mkdir -p runs/logs
 
-ITERS=${ITERS:-20000}
+ITERS=${ITERS:-5000}
 NCALI=${NCALI:-64}
 CKPT=runs/toy_ddpm.npz
 
@@ -56,13 +57,16 @@ run_gate () {  # run_gate <tag> <args...>
   return 1
 }
 
+# Cheap trained-weight gates first (the toy model is ~6x faster per
+# gate than the full cifar10 shape), so rows land earliest in a bounded
+# wall clock; cifar10 (real BASELINE shape, random init) after.
+run_gate toy_w4a8  --ckpt "$CKPT" --wq 4 --fd 256
+run_gate toy_w8a8  --ckpt "$CKPT" --wq 8 --fd 256
+run_gate toy_w4a32 --ckpt "$CKPT" --wq 4 --no-aq --fd 256
+
 run_gate cifar10_w8a8  cifar10 --wq 8
 run_gate cifar10_w4a8  cifar10 --wq 4
 run_gate cifar10_w4a32 cifar10 --wq 4 --no-aq
-
-run_gate toy_w8a8  --ckpt "$CKPT" --wq 8 --fd 256
-run_gate toy_w4a8  --ckpt "$CKPT" --wq 4 --fd 256
-run_gate toy_w4a32 --ckpt "$CKPT" --wq 4 --no-aq --fd 256
 
 echo "campaign done (failed gates:${FAILED:-' none'})"
 ls -la runs/quality_*.json
