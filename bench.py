@@ -57,14 +57,24 @@ def _steps_per_sec(step_fn, params, x, t, batch):
     np.asarray(c_short(params, x, t))  # compile + warm
     np.asarray(c_long(params, x, t))
     reps = []
-    for _ in range(REPS):
+    attempts = 0
+    while len(reps) < REPS and attempts < 3 * REPS:
+        attempts += 1
         t0 = time.perf_counter()
         np.asarray(c_short(params, x, t))
         d1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         np.asarray(c_long(params, x, t))
         d2 = time.perf_counter() - t0
-        reps.append(batch * (N_LONG - N_SHORT) / (d2 - d1))
+        est = batch * (N_LONG - N_SHORT) / (d2 - d1)
+        # discard-and-retry nonphysical reps: tunnel noise can make the
+        # long-minus-short difference go negative (round 3 recorded a
+        # -1492 steps/s rep); such a rep measures nothing
+        if np.isfinite(est) and est > 0:
+            reps.append(est)
+    if not reps:
+        raise RuntimeError("no physical (positive) bench rep in "
+                           f"{attempts} attempts")
     return reps
 
 
@@ -137,24 +147,26 @@ def main():
     q8_reps = quantized_tp(8)
     q4_reps = quantized_tp(4)
 
-    # headline = best-of-reps (matches prior rounds' methodology); the
-    # full per-rep spread rides in extra so the ±10% tunnel noise is
-    # auditable against the vs_baseline claim
-    fp_tp, q8_tp, q4_tp = max(fp_reps), max(q8_reps), max(q4_reps)
-    fp_med = sorted(fp_reps)[len(fp_reps) // 2]
-    q4_med = sorted(q4_reps)[len(q4_reps) // 2]
-    q8_med = sorted(q8_reps)[len(q8_reps) // 2]
+    # headline = MEDIAN-of-reps vs median baseline (best-of-reps cherry
+    # -picks tunnel noise of the same magnitude as the claimed win —
+    # round-3 verdict); best + full spread ride in extra for audit
+    fp_med = float(np.median(fp_reps))
+    q4_med = float(np.median(q4_reps))
+    q8_med = float(np.median(q8_reps))
     print(json.dumps({
         "metric": "cifar10_unet_w4a8_denoise_steps_per_sec_per_chip",
-        "value": round(q4_tp, 2),
+        "value": round(q4_med, 2),
         "unit": "img-denoise-steps/s",
-        "vs_baseline": round(q4_tp / fp_tp, 4),
+        "vs_baseline": round(q4_med / fp_med, 4),
         "extra": {
-            "w8a8_steps_per_sec": round(q8_tp, 2),
-            "w8a8_vs_baseline": round(q8_tp / fp_tp, 4),
-            "bf16_fp_steps_per_sec": round(fp_tp, 2),
-            "w4a8_vs_baseline_median": round(q4_med / fp_med, 4),
-            "w8a8_vs_baseline_median": round(q8_med / fp_med, 4),
+            "headline_is": "median (vs_baseline = median/median)",
+            "w8a8_steps_per_sec": round(q8_med, 2),
+            "w8a8_vs_baseline": round(q8_med / fp_med, 4),
+            "bf16_fp_steps_per_sec": round(fp_med, 2),
+            "w4a8_vs_baseline_best": round(max(q4_reps) / max(fp_reps),
+                                           4),
+            "w8a8_vs_baseline_best": round(max(q8_reps) / max(fp_reps),
+                                           4),
             "spread": {"bf16_fp": _spread(fp_reps),
                        "w4a8": _spread(q4_reps),
                        "w8a8": _spread(q8_reps)},

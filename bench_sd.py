@@ -17,8 +17,10 @@ K/V projections out of the denoise loop (ldm_unet.build_cross_kv);
 --no-kv-cache disables the cache for A/B (the reference recomputes
 them per step, attention.py:176-193).
 
-Every number reports min AND median over REPS long/short loop pairs so
-the shared-chip tunnel noise (±10%) is visible in the artifact.
+Headline numbers are MEDIANS over REPS long/short loop pairs
+(nonphysical reps discarded and re-measured); best-of-reps and the full
+spread ride in extra so the shared-chip tunnel noise (±10%) is visible
+in the artifact.
 
 Usage: python bench_sd.py [batch] [--skip-int4] [--no-kv-cache]
 Prints one JSON line like bench.py with the w4a8 number as the metric.
@@ -41,7 +43,7 @@ N_SHORT, N_LONG, REPS = 4, 16, 5
 
 
 def _measure(make_body, params, x, t, c, batch):
-    """steps/s: (min, median, per-rep list). ``make_body(p, t, c)`` runs
+    """steps/s: (best, median, per-rep list). ``make_body(p, t, c)`` runs
     once per jitted chain (outside the loop) so per-prompt setup — the
     K/V cache — is excluded exactly as in a real 50-step rollout, and
     the long-short difference cancels fetch/dispatch overhead."""
@@ -55,14 +57,23 @@ def _measure(make_body, params, x, t, c, batch):
     np.asarray(c_short(params, x, t, c))
     np.asarray(c_long(params, x, t, c))
     reps = []
-    for _ in range(REPS):
+    attempts = 0
+    while len(reps) < REPS and attempts < 3 * REPS:
+        attempts += 1
         t0 = time.perf_counter()
         np.asarray(c_short(params, x, t, c))
         d1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         np.asarray(c_long(params, x, t, c))
         d2 = time.perf_counter() - t0
-        reps.append(batch * (N_LONG - N_SHORT) / (d2 - d1))
+        est = batch * (N_LONG - N_SHORT) / (d2 - d1)
+        # nonphysical reps (long-minus-short gone negative under tunnel
+        # noise) are discarded and re-measured, never averaged in
+        if np.isfinite(est) and est > 0:
+            reps.append(est)
+    if not reps:
+        raise RuntimeError("no physical (positive) bench rep in "
+                           f"{attempts} attempts")
     return max(reps), float(np.median(reps)), [round(r, 2) for r in reps]
 
 
@@ -100,8 +111,8 @@ def main():
                 kv_cache=cache).astype(jnp.float32)
         return body
 
-    fp_min, fp_med, fp_reps = _measure(fp_make_body, params_bf16,
-                                       x, t, c, b)
+    fp_best, fp_med, fp_reps = _measure(fp_make_body, params_bf16,
+                                        x, t, c, b)
 
     # fast-deploy carriers: FP-fallback layers + glue ops run bf16
     params_q = cast_fp_params(params)
@@ -140,27 +151,30 @@ def main():
         return _measure(q_make_body, (params_q, deployed, astate),
                         x, t, c, b)
 
-    q8_min, q8_med, q8_reps = quantized_tp(8)
-    q4_min, q4_med, q4_reps = quantized_tp(4)
+    q8_best, q8_med, q8_reps = quantized_tp(8)
+    q4_best, q4_med, q4_reps = quantized_tp(4)
+    # headline = MEDIAN vs median baseline (best-of-reps cherry-picks
+    # tunnel noise; round-3 verdict); best rides in extra for audit
     extra = {
         "batch": b,
         "kv_cache": use_kv,
-        "w8a8_steps_per_sec": round(q8_min, 2),
-        "w8a8_vs_baseline": round(q8_min / fp_min, 4),
-        "bf16_fp_steps_per_sec": round(fp_min, 2),
-        "median": {"bf16_fp": round(fp_med, 2), "w8a8": round(q8_med, 2),
-                   "w4a8": round(q4_med, 2),
-                   "w4a8_vs_baseline": round(q4_med / fp_med, 4)},
+        "headline_is": "median (vs_baseline = median/median)",
+        "w8a8_steps_per_sec": round(q8_med, 2),
+        "w8a8_vs_baseline": round(q8_med / fp_med, 4),
+        "bf16_fp_steps_per_sec": round(fp_med, 2),
+        "best": {"bf16_fp": round(fp_best, 2), "w8a8": round(q8_best, 2),
+                 "w4a8": round(q4_best, 2),
+                 "w4a8_vs_baseline": round(q4_best / fp_best, 4)},
         "reps": {"bf16_fp": fp_reps, "w8a8": q8_reps, "w4a8": q4_reps},
     }
     if not skip_int4:
         # never lose the headline numbers to a serving-mode failure
         try:
-            q4s_min, q4s_med, q4s_reps = quantized_tp(4,
-                                                      int4_serving=True)
-            extra["w4a8_int4_serving_steps_per_sec"] = round(q4s_min, 2)
+            q4s_best, q4s_med, q4s_reps = quantized_tp(4,
+                                                       int4_serving=True)
+            extra["w4a8_int4_serving_steps_per_sec"] = round(q4s_med, 2)
             extra["w4a8_int4_serving_vs_baseline"] = round(
-                q4s_min / fp_min, 4)
+                q4s_med / fp_med, 4)
             extra["reps"]["w4a8_int4_serving"] = q4s_reps
         except Exception as e:  # noqa: BLE001
             extra["w4a8_int4_serving_error"] = f"{type(e).__name__}"
@@ -168,9 +182,9 @@ def main():
 
     print(json.dumps({
         "metric": "sd_v14_unet_w4a8_denoise_steps_per_sec_per_chip",
-        "value": round(q4_min, 2),
+        "value": round(q4_med, 2),
         "unit": "img-denoise-steps/s",
-        "vs_baseline": round(q4_min / fp_min, 4),
+        "vs_baseline": round(q4_med / fp_med, 4),
         "extra": extra,
     }))
 

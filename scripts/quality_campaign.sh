@@ -1,15 +1,14 @@
 #!/bin/bash
 # Quality campaign: produce every row of docs/QUALITY.md's results table
-# on the real TPU chip, committing one JSON artifact per row under runs/.
+# on the real TPU chip, committing one JSON artifact per row under runs/
+# plus a per-unit recon-loss-curve npz under runs/logs/ (auditable
+# convergence evidence).
 #
 # Budget notes (docs/QUALITY.md cites this script):
-# - recon iters 5000/unit (ITERS=20000 for the reference's full budget,
-#   /root/reference/ddim/runners/diffusion.py:296-304): per-unit losses
-#   are converged well before 5k at these shapes (docs/QUALITY.md).
-# - cali samples 64/step (reference: 256): the recon minibatch is 32, so
-#   64 i.i.d. samples/step already gives >=2 disjoint batches per group;
-#   raising to 256 quadruples harvest + capture cost for no measured
-#   metric change on these model sizes (see runs/quality_*.json).
+# - default recon iters 5000/unit and 64 cali samples/step; the
+#   *_ref20k rows below run the reference's full budget (20000 iters,
+#   256 samples — /root/reference/ddim/runners/diffusion.py:296-310)
+#   on the same seed, so the budget cut is a measured A/B, not a claim.
 # No `set -e`: the shared tunnel TPU occasionally crashes mid-gate
 # ("TPU worker process crashed or restarted"); each gate retries and the
 # campaign resumes by skipping rows whose JSON artifact already exists.
@@ -31,8 +30,9 @@ if [ ! -f "$CKPT" ]; then
 fi
 
 FAILED=""
-run_gate () {  # run_gate <tag> <args...>
+run_gate () {  # run_gate <tag> <args...>; GATE_ITERS/GATE_NCALI override
   local tag=$1; shift
+  local iters="${GATE_ITERS:-$ITERS}" ncali="${GATE_NCALI:-$NCALI}"
   local out="runs/quality_${tag}.json"
   if [ -s "$out" ]; then
     echo "=== quality_gate $tag: $out exists, skipping ==="
@@ -40,10 +40,15 @@ run_gate () {  # run_gate <tag> <args...>
   fi
   local attempt
   for attempt in 1 2 3 4 5 6 7 8; do
-    echo "=== quality_gate $tag (attempt $attempt) ==="
-    if python scripts/quality_gate.py "$@" --iters "$ITERS" --n-cali "$NCALI" \
+    # tee -a: a retry after a TPU crash must APPEND, not clobber the
+    # per-unit loss records already in the log (round-3 advisor)
+    echo "=== quality_gate $tag (attempt $attempt) ===" \
+      | tee -a "runs/logs/gate_${tag}.log"
+    if python scripts/quality_gate.py "$@" --iters "$iters" \
+         --n-cali "$ncali" \
          --resume-dir "runs/resume_${tag}" \
-         --json "$out" 2>&1 | tee "runs/logs/gate_${tag}.log"; then
+         --curves "runs/logs/curves_${tag}.npz" \
+         --json "$out" 2>&1 | tee -a "runs/logs/gate_${tag}.log"; then
       if [ -s "$out" ]; then
         rm -rf "runs/resume_${tag}"
         return 0
@@ -64,9 +69,22 @@ run_gate toy_w4a8  --ckpt "$CKPT" --wq 4 --fd 256
 run_gate toy_w8a8  --ckpt "$CKPT" --wq 8 --fd 256
 run_gate toy_w4a32 --ckpt "$CKPT" --wq 4 --no-aq --fd 256
 
-run_gate cifar10_w8a8  cifar10 --wq 8
-run_gate cifar10_w4a8  cifar10 --wq 4
-run_gate cifar10_w4a32 cifar10 --wq 4 --no-aq
+run_gate cifar10_w8a8  cifar10 --wq 8 --fd 128
+run_gate cifar10_w4a8  cifar10 --wq 4 --fd 128
+run_gate cifar10_w4a32 cifar10 --wq 4 --no-aq --fd 128
+
+# Conditioned rows: TIB-LDM, QK/SMV matmul quant, softmax-output quant,
+# and double-batched CFG end-to-end (reference path txt2img.py:394-488,
+# quant_block.py:212-354). tiny_sd = CLIP-text CFG; cin256_v2 = the real
+# ImageNet class-cond shape at CFG scale 3.0.
+run_gate tiny_sd_w4a8 tiny_sd --wq 4 --fd 64
+run_gate cin256_w4a8 cin256_v2 --wq 4 --batch 8
+
+# Reference-budget A/B on the SAME seed (substantiates the 5k/64 cut):
+GATE_ITERS=20000 GATE_NCALI=256 \
+  run_gate toy_w4a8_ref20k --ckpt "$CKPT" --wq 4 --fd 256
+GATE_ITERS=20000 GATE_NCALI=256 \
+  run_gate cifar10_w4a8_ref20k cifar10 --wq 4 --fd 128
 
 echo "campaign done (failed gates:${FAILED:-' none'})"
 ls -la runs/quality_*.json

@@ -93,6 +93,10 @@ def main():
                     help="weight-only quantization (the w4a32 BASELINE "
                          "configs): no act quantizers, no FSC")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--curves", default=None,
+                    help="persist per-unit recon loss traces (npz, "
+                         "~200 points/unit) so convergence/budget "
+                         "claims are auditable")
     ap.add_argument("--resume-dir", default=None,
                     help="per-unit recon checkpoints; a retry after a "
                          "TPU-worker crash resumes instead of "
@@ -167,6 +171,7 @@ def main():
     # checkpoints: a TPU-worker crash during the rollout/metric phases
     # below then skips both the harvest and recalibration on retry
     cali_art = None
+    recon_stats = {}
     if args.resume_dir:
         import os
         cali_art = os.path.join(args.resume_dir, "cali_artifact.npz")
@@ -194,10 +199,28 @@ def main():
               f"({args.iters} iters/unit)...", file=sys.stderr)
         hp = ReconHP(iters=args.iters, batch_size=min(task.recon_batch,
                                                       args.n_cali))
+
+        curves = {}
+        lg = logging.getLogger("gate")
+
+        def log_cb(unit, losses):
+            if losses is None:
+                lg.info("recon %-24s resumed from checkpoint", unit)
+                return
+            arr = np.asarray(losses)
+            curves[unit] = arr[::max(1, len(arr) // 200)].astype(
+                np.float32)
+            lg.info("recon %-24s loss %.6f -> %.6f", unit,
+                    float(arr[0]), float(arr[-1]))
+
         wstate, astate = cali_model(adapter, params, w_cali, a_cali,
                                     hp=hp, use_aq=use_aq, key=k_cali,
                                     resume_dir=args.resume_dir,
-                                    path=cali_art)
+                                    path=cali_art, log=log_cb,
+                                    recon_stats=recon_stats)
+        if args.curves and curves:
+            np.savez(args.curves, **curves)
+            lg.info("recon loss curves saved to %s", args.curves)
 
     # rollouts on identical latents/seed
     sampler_fn, _ = ptq.make_schedule(task, steps=args.steps)
@@ -276,20 +299,28 @@ def main():
     }
     if trained is not None:
         out["weights"] = "trained:" + args.ckpt
+    if recon_stats:
+        kept_nearest = sorted(u for u, v in recon_stats.items()
+                              if v.get("kept") == "nearest")
+        out["recon_guard"] = {
+            "units": len(recon_stats),
+            "kept_trained": len(recon_stats) - len(kept_nearest),
+            "kept_nearest": kept_nearest,
+        }
 
     if args.fd:
         # proxy FD: distribution-space damage from quantization, in the
-        # pool3 features of a FIXED random-init InceptionV3 (seed 0).
-        # Random-feature Frechet distances rank-correlate with true FID
-        # but are not comparable to published numbers.
-        from tfmq_dm_tpu.utils.fid import (init_inception_params,
-                                           make_extractor)
+        # features of the FIXED shallow random extractor (seed 0,
+        # utils/proxy_fd.py). Its null separation is demonstrated by
+        # tests/test_proxy_fd.py (FD(X,X)==0, data-vs-noise >> resample
+        # noise floor, monotone in corruption); NOT comparable to
+        # published FIDs (those need pt_inception weights, utils/fid.py).
         from tfmq_dm_tpu.utils.metrics import (activation_stats,
                                                fid_from_stats)
+        from tfmq_dm_tpu.utils.proxy_fd import make_proxy_extractor
         print(f"[{task.name}] proxy-FD over {args.fd} samples...",
               file=sys.stderr)
-        inc = init_inception_params(jax.random.PRNGKey(0))
-        ext = make_extractor(inc)
+        ext = make_proxy_extractor(cin=chans, seed=0)
         roll_fp_j = jax.jit(lambda p, x, k: sampler_fn(
             lambda xx, tt, ss: fp_model_p(p, xx, tt, ss), x, k))
         roll_q_j = jax.jit(lambda p, w, a, x, k: sampler_fn(

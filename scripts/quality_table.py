@@ -20,20 +20,27 @@ def row(path):
     if weights.startswith("trained:"):
         weights = "trained (`%s`)" % weights.split(":", 1)[1]
     fd = d.get("proxy_fd_fp_vs_quant")
-    return "| {task} | {weights} | {setting} | {iters} | {sq_mean}/{sq_min} | {psnr} | {traj} | {fd} |".format(
+    guard = d.get("recon_guard")
+    if guard:
+        guard_s = "%d/%d" % (guard["kept_trained"], guard["units"])
+    else:
+        guard_s = "—"
+    return ("| {task} | {weights} | {setting} | {iters} | {ncali} | "
+            "{sq_mean}/{sq_min} | {psnr} | {traj} | {fd} | {guard} |"
+            ).format(
         task=d["task"], weights=weights, setting=d["setting"],
-        iters=d["recon_iters"],
+        iters=d["recon_iters"], ncali=d.get("cali_per_step", "—"),
         sq_mean=d["unet_sqnr_db_mean"], sq_min=d["unet_sqnr_db_min"],
         psnr=d["sample_psnr_db"], traj=d["traj_sqnr_db"],
-        fd="—" if fd is None else fd)
+        fd="—" if fd is None else fd, guard=guard_s)
 
 
 def main():
     paths = sys.argv[1:] or sorted(glob.glob("runs/quality_*.json"))
-    print("| task | weights | setting | recon iters | "
+    print("| task | weights | setting | recon iters | cali/step | "
           "UNet SQNR mean/min (dB) | sample PSNR (dB) | "
-          "traj SQNR (dB) | proxy FD fp↔q |")
-    print("|---|---|---|---|---|---|---|---|")
+          "traj SQNR (dB) | proxy FD fp↔q | guard kept |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for p in paths:
         print(row(p))
 

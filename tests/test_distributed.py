@@ -53,6 +53,43 @@ with open(os.path.join(out_dir, f"result_{pid}.json"), "w") as f:
 """
 
 
+# A worker that touches the local backend FIRST (jax.devices()), then
+# requests explicit multi-host init — jax.distributed.initialize must
+# fail (backend already up), and our wrapper must RE-RAISE rather than
+# silently staying single-host (round-3 weak #5).
+FAIL_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.devices()                      # initialize the local backend
+from tfmq_dm_tpu.parallel import distributed as D
+try:
+    D.initialize(coordinator_address="127.0.0.1:1",
+                 num_processes=2, process_id=0)
+except RuntimeError as e:
+    print("RAISED-AS-EXPECTED:", e)
+    sys.exit(0)
+sys.exit(1)                        # silent fallback = the bug
+"""
+
+
+def _env():
+    return dict(os.environ, JAX_PLATFORMS="cpu",
+                PYTHONPATH=os.pathsep.join(
+                    [os.path.dirname(os.path.dirname(__file__))]
+                    + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+
+
+def test_explicit_init_failure_raises():
+    proc = subprocess.run([sys.executable, "-c", FAIL_WORKER],
+                          env=_env(), capture_output=True, timeout=120)
+    assert proc.returncode == 0, (proc.stdout.decode()[-2000:],
+                                  proc.stderr.decode()[-2000:])
+    assert b"RAISED-AS-EXPECTED" in proc.stdout
+
+
 @pytest.mark.slow
 def test_two_process_initialize_broadcast(tmp_path):
     with socket.socket() as s:

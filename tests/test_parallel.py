@@ -9,7 +9,6 @@ import numpy as np
 import pytest
 
 from tfmq_dm_tpu.models import ddim_unet, ddim_units
-from tfmq_dm_tpu.parallel.dp import reconstruct_unit_dp
 from tfmq_dm_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
                                        shard_params_tp)
 from tfmq_dm_tpu.quant import recon
@@ -39,9 +38,9 @@ def test_dp_recon_runs_and_improves(setup):
     inputs, outputs = recon.capture_unit_io(adapter, unit, params, cali,
                                             wstate, asym=True)
     hp = ReconHP(iters=30, batch_size=16)
-    new_wstate, losses = reconstruct_unit_dp(
-        mesh, adapter, unit, params, wstate, inputs, outputs, hp,
-        jax.random.PRNGKey(3))
+    new_wstate, losses = recon.reconstruct_unit(
+        adapter, unit, params, wstate, inputs, outputs, hp,
+        jax.random.PRNGKey(3), mesh=mesh)
     assert "alpha" in new_wstate["mid.block_1.conv1"]
     assert np.all(np.isfinite(np.asarray(losses)))
 
@@ -63,9 +62,9 @@ def test_dp_grads_match_single_device(setup):
                                          jax.random.PRNGKey(9))
     # 8-way DP, local batch = n/8 — permutation of n/8 elements takes all
     mesh = make_mesh(dp=8, tp=1)
-    w_dp, _ = reconstruct_unit_dp(mesh, adapter, unit, params, wstate,
-                                  inputs, outputs, hp1,
-                                  jax.random.PRNGKey(9))
+    w_dp, _ = recon.reconstruct_unit(adapter, unit, params, wstate,
+                                     inputs, outputs, hp1,
+                                     jax.random.PRNGKey(9), mesh=mesh)
     a1 = np.asarray(w_single["mid.block_1.conv1"]["alpha"])
     a2 = np.asarray(w_dp["mid.block_1.conv1"]["alpha"])
     # Adam's first step is sign(grad)*lr regardless of magnitude, and the

@@ -29,6 +29,8 @@ def initialize(coordinator_address: Optional[str] = None,
     process silently stays single-host."""
     if jax.distributed.is_initialized():
         return
+    explicit = (coordinator_address is not None
+                or num_processes is not None or process_id is not None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -36,7 +38,18 @@ def initialize(coordinator_address: Optional[str] = None,
         logger.info("jax.distributed initialized: process %d/%d, %d "
                     "local devices", jax.process_index(),
                     jax.process_count(), jax.local_device_count())
-    except (ValueError, RuntimeError) as e:  # single-host / already init
+    except (ValueError, RuntimeError) as e:
+        if explicit:
+            # The caller ASKED for multi-host; silently staying
+            # single-host here is exactly the failure mode the
+            # reference's SLURM bootstrap never had (it crashed loud,
+            # linklink/__init__.py:21-59) — re-raise.
+            raise RuntimeError(
+                "explicit multi-host initialization failed "
+                f"(coordinator_address={coordinator_address!r}, "
+                f"num_processes={num_processes}, "
+                f"process_id={process_id}): {e}") from e
+        # implicit path: no cluster env present -> normal single-host
         logger.debug("distributed init skipped: %s", e)
 
 

@@ -35,32 +35,39 @@ def cali_model(adapter: ModelAdapter, params,
                w_scaler: str = "mse", act_scaler: str = "mse",
                meta: Optional[dict] = None,
                capture_batch_size: int = 128,
-               mesh=None, resume_dir: Optional[str] = None):
+               mesh=None, resume_dir: Optional[str] = None,
+               log=None, recon_stats: Optional[dict] = None):
     """Full PTQ calibration. ``w_cali_data``: sample-major tuple (x, t[,c]);
     ``a_cali_data``: group-major tuple (G, N, ...) for FSC (required when
     ``use_aq``). Returns (wstate, astate).
 
     ``mesh``: data-parallel reconstruction over a device mesh (the
     reference's cali_model_multi). ``resume_dir``: per-unit checkpoints,
-    resumable after a crash (unlike the all-or-nothing reference)."""
+    resumable after a crash (unlike the all-or-nothing reference).
+    ``log(unit_name, losses_or_None)``: overrides the default per-unit
+    loss logging (losses is the full per-iter trace, so callers can
+    persist auditable convergence curves). ``recon_stats``: optional
+    dict collecting the per-unit do-no-harm guard records."""
     if key is None:
         key = jax.random.PRNGKey(0)
     logger.info("calibrating: weight qparam init (%s)", w_scaler)
     wstate = init_weight_qparams(adapter.policy, params, scaler=w_scaler)
 
-    def log(unit, losses):
-        if losses is None:
-            logger.info("recon %-24s resumed from checkpoint", unit)
-        else:
-            logger.info("recon %-24s loss %.6f -> %.6f", unit,
-                        float(losses[0]), float(losses[-1]))
+    if log is None:
+        def log(unit, losses):
+            if losses is None:
+                logger.info("recon %-24s resumed from checkpoint", unit)
+            else:
+                logger.info("recon %-24s loss %.6f -> %.6f", unit,
+                            float(losses[0]), float(losses[-1]))
 
     key, k1, k2 = jax.random.split(key, 3)
     logger.info("calibrating: TIAR reconstruction over %d units",
                 len(adapter.units))
     wstate = reconstruct(adapter, params, w_cali_data, wstate, hp, k1,
                          capture_batch_size=capture_batch_size, log=log,
-                         mesh=mesh, resume_dir=resume_dir)
+                         mesh=mesh, resume_dir=resume_dir,
+                         stats=recon_stats)
 
     astate = None
     if use_aq:

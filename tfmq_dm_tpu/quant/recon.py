@@ -57,6 +57,10 @@ class ReconHP:
     use_aq: bool = False
     rloss: str = "mse"       # mse | fisher_diag | fisher_full
     # (RLOSS enum, reconstruction_util.py:10; entry flows use mse)
+    # skip a unit's whole Adam loop when its nearest-rounding hard loss
+    # is already below this floor (0 = never skip); pairs with the
+    # do-no-harm guard in reconstruct_unit
+    loss_floor: float = 0.0
 
 
 def init_weight_qparams(policy, params, scaler: str = "mse") -> Dict:
@@ -312,6 +316,46 @@ def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
                key, iter0)
 
 
+@functools.partial(jax.jit, static_argnames=("unit_fwd", "kind",
+                                             "role_cfgs", "extra", "hp",
+                                             "use_aq"))
+def _hard_loss_batch(unit_fwd, kind, role_cfgs, extra, hp: ReconHP,
+                     use_aq: bool, uparams, wstate_roles, ast, binp,
+                     bout, bg=None):
+    """Hard-rounding (inference-mode, soft=False) reconstruction loss of
+    one cached-I/O batch — the quantity the deployed model actually
+    realizes, unlike the annealed soft loss the Adam loop optimizes."""
+    pred = unit_fwd(kind, role_cfgs, extra, uparams, wstate_roles, ast,
+                    binp, False, use_aq)
+    return _rec_loss(pred, bout, hp.p, hp.rloss, bg)
+
+
+def _hard_eval(unit_fwd, kind, role_cfgs, extra, hp: ReconHP, uparams,
+               wstate_roles, inputs, outputs, fgrads=None, ast=None,
+               use_aq=None, batch: int = 256) -> float:
+    """Mean hard-rounding loss over the full cached I/O, batched (two of
+    these per unit cost two forwards — negligible next to the Adam
+    loop)."""
+    if use_aq is None:
+        use_aq = hp.use_aq
+    n = jax.tree.leaves(inputs)[0].shape[0]
+    tot, cnt = 0.0, 0
+    for i in range(0, n, batch):
+        binp = jax.tree.map(lambda x: jnp.asarray(x[i:i + batch]),
+                            inputs)
+        bout = jax.tree.map(lambda x: jnp.asarray(x[i:i + batch]),
+                            outputs)
+        bg = None if fgrads is None else jnp.asarray(
+            np.asarray(fgrads)[i:i + batch])
+        loss = _hard_loss_batch(unit_fwd, kind, role_cfgs, extra, hp,
+                                use_aq, uparams, wstate_roles,
+                                ast or {}, binp, bout, bg)
+        b = jax.tree.leaves(binp)[0].shape[0]
+        tot += float(loss) * b
+        cnt += b
+    return tot / max(cnt, 1)
+
+
 # device-memory budget for one unit's cached recon I/O; above this the
 # capture streams to host numpy and the Adam schedule runs in chunks
 # (the reference's keep_gpu heuristics, calibration.py:62-67)
@@ -408,7 +452,8 @@ def _shard_samples(mesh, inputs, outputs, fgrads):
 
 def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
                      wstate, inputs, outputs, hp: ReconHP, key,
-                     fgrads=None, mesh=None, partial_path=None):
+                     fgrads=None, mesh=None, partial_path=None,
+                     stats: Optional[dict] = None):
     """Run weight-phase reconstruction for one unit; returns updated
     wstate (alphas written back under full layer names) and the loss
     trace. ``mesh``: run the Adam loop data-parallel over the mesh's
@@ -419,13 +464,42 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
     ≤``RESUME_SEG_ITERS``-iteration device programs with (alphas,
     opt_state, iter, key) persisted after each, so a TPU-worker crash
     resumes inside the unit (and no single device program runs long
-    enough to trip the shared tunnel's watchdog)."""
+    enough to trip the shared tunnel's watchdog).
+
+    Do-no-harm guard (improves on reconstruction.py:63-78, which keeps
+    the final alphas unconditionally): the HARD-rounding loss over the
+    cached I/O is evaluated for nearest rounding (no alpha) and for the
+    trained alphas, and the better one is kept — round-3 w8a8 gate logs
+    showed AdaRound optimization leaving every unit WORSE than nearest
+    rounding, and the annealed soft loss the loop optimizes is not the
+    loss the deployed model realizes. ``hp.loss_floor`` > 0 skips the
+    whole Adam loop when nearest rounding is already below the floor.
+    ``stats``: optional dict collecting per-unit guard records."""
     import os
 
     prep = _prep_unit_states(adapter, unit, params, wstate)
     if prep is None:
         return wstate, None
     role_cfgs, uparams, fixed, alphas = prep
+
+    # nearest-rounding baseline, expressed as fresh init_alpha alphas so
+    # (a) it is EXACTLY the state a revert stores and (b) both guard
+    # evals share one compiled program (same pytree structure)
+    base_alphas = {role: init_alpha(params[full]["w"],
+                                    wstate[full]["delta"])
+                   for role, full in unit.layers if role in alphas}
+    hard_nearest = _hard_eval(adapter.unit_fwd, unit.kind, role_cfgs,
+                              unit.extra, hp, uparams,
+                              _merge_alpha(fixed, base_alphas), inputs,
+                              outputs, fgrads)
+    if hp.loss_floor > 0.0 and hard_nearest <= hp.loss_floor:
+        logger.info("recon %s: nearest-rounding loss %.6f already below "
+                    "floor %g — skipping optimization", unit.name,
+                    hard_nearest, hp.loss_floor)
+        if stats is not None:
+            stats[unit.name] = {"hard_nearest": hard_nearest,
+                                "kept": "nearest", "skipped": True}
+        return wstate, None
 
     it0 = 0
     opt_state = None
@@ -498,6 +572,25 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
             uparams, fixed, alphas, inputs, outputs, k, fgrads,
             opt_state=opt_state, iter0=i0, n_iters=n_it, mesh=mesh))
     losses = jnp.concatenate(loss_parts) if loss_parts else None
+
+    hard_trained = _hard_eval(adapter.unit_fwd, unit.kind, role_cfgs,
+                              unit.extra, hp, uparams,
+                              _merge_alpha(fixed, alphas), inputs,
+                              outputs, fgrads)
+    keep_trained = hard_trained < hard_nearest
+    logger.info("recon %s guard: hard loss nearest %.6f vs trained "
+                "%.6f -> keep %s", unit.name, hard_nearest, hard_trained,
+                "trained" if keep_trained else "nearest")
+    if stats is not None:
+        stats[unit.name] = {"hard_nearest": hard_nearest,
+                            "hard_trained": hard_trained,
+                            "kept": "trained" if keep_trained
+                            else "nearest"}
+    if not keep_trained:
+        # nearest rounding wins: keep the baseline alphas (init_alpha
+        # hard-rounds to nearest), so inference, deployment, and later
+        # units' asym prefixes all realize nearest — schema unchanged
+        alphas = base_alphas
     new_wstate = dict(wstate)
     for role, full in unit.layers:
         if role in alphas:
@@ -598,10 +691,30 @@ def reconstruct_unit_act(adapter: ModelAdapter, unit: UnitSpec, params,
     if mesh is not None:
         inputs, outputs, fgrads = _shard_samples(mesh, inputs, outputs,
                                                  fgrads)
+
+    def _ast(d):
+        return {r: {"delta": d[r], "zp": zps[r]} for r in d}
+
+    loss_before = _hard_eval(adapter.unit_fwd, unit.kind, role_cfgs,
+                             unit.extra, hp, uparams, wstate_roles,
+                             inputs, outputs, fgrads, ast=_ast(deltas),
+                             use_aq=True)
+    deltas0 = deltas
     deltas, losses = _act_run(
         adapter.unit_fwd, unit.kind, role_cfgs, unit.extra, hp, uparams,
         wstate_roles, zps, deltas, inputs, outputs, key, fgrads,
         mesh=mesh)
+    # do-no-harm: keep the calibrated deltas if optimization regressed
+    # them (same guard as the weight phase; the reference keeps the
+    # optimized values unconditionally, reconstruction.py:43-48)
+    loss_after = _hard_eval(adapter.unit_fwd, unit.kind, role_cfgs,
+                            unit.extra, hp, uparams, wstate_roles,
+                            inputs, outputs, fgrads, ast=_ast(deltas),
+                            use_aq=True)
+    if loss_after >= loss_before:
+        logger.info("act recon %s guard: %.6f -> %.6f, keeping original "
+                    "deltas", unit.name, loss_before, loss_after)
+        deltas = deltas0
     new_astate = dict(astate)
     for role, d in deltas.items():
         full = full_of[role]
@@ -640,14 +753,15 @@ def reconstruct_act(adapter: ModelAdapter, params, cali_data, wstate,
 
 def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
                 hp: ReconHP, key, *, capture_batch_size: int = 128,
-                log=None, mesh=None, resume_dir: Optional[str] = None):
+                log=None, mesh=None, resume_dir: Optional[str] = None,
+                stats: Optional[dict] = None):
     """Sequential unit-by-unit reconstruction in module order
     (recon_model DFS, calibration.py:56-84). Each unit's asym inputs are
     captured under the current (partially reconstructed, hard-rounded)
     prefix — order matters, exactly as in the reference.
 
     ``mesh``: run each unit's Adam loop data-parallel over the mesh
-    (parallel/dp.py). ``resume_dir``: per-unit checkpointing — unit
+    (``mesh=`` argument). ``resume_dir``: per-unit checkpointing — unit
     results are persisted as they finish and completed units are skipped
     on restart (the reference only writes the artifact after ALL units,
     calibration.py:153-154, so a crash loses everything)."""
@@ -704,7 +818,8 @@ def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
         wstate, losses = reconstruct_unit(adapter, unit, params,
                                           wstate, inputs, outputs,
                                           hp, k, fgrads, mesh=mesh,
-                                          partial_path=partial)
+                                          partial_path=partial,
+                                          stats=stats)
         if resume_dir and jax.process_index() == 0:
             np.savez(_unit_path(unit.name),
                      **{f"{full}::alpha": np.asarray(
