@@ -79,6 +79,29 @@ def test_guard_keeps_genuine_improvement():
     assert rec["hard_trained"] < rec["hard_nearest"]
 
 
+def test_act_guard_reverts_on_regression():
+    """Sabotaged act-phase lr must leave the calibrated deltas intact
+    (the guard keeps the originals when optimization regresses)."""
+    from tfmq_dm_tpu.quant.context import QuantCtx
+    params, adapter, cali = _setup()
+    wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
+    ctx = QuantCtx(adapter.policy, wstate=wstate, use_wq=True,
+                   use_aq=True, act_mode="init")
+    adapter.forward(params, ctx, *(x[:8] for x in cali))
+    astate = dict(ctx.out_astate)
+    unit = adapter.unit_by_name("mid.block_1")
+    inputs, outputs = recon.capture_unit_io(
+        adapter, unit, params, cali, wstate, astate, asym=True,
+        use_aq=True)
+    hp = ReconHP(iters=20, batch_size=8, lr_delta=50.0)  # sabotage
+    new_astate, _ = recon.reconstruct_unit_act(
+        adapter, unit, params, wstate, astate, inputs, outputs, hp,
+        jax.random.PRNGKey(5))
+    for site, st in new_astate.items():
+        np.testing.assert_array_equal(np.asarray(st["delta"]),
+                                      np.asarray(astate[site]["delta"]))
+
+
 def test_loss_floor_skips_optimization():
     params, adapter, cali = _setup()
     wstate = init_weight_qparams(adapter.policy, params, scaler="minmax")
