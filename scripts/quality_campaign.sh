@@ -69,15 +69,17 @@ run_gate toy_w4a8  --ckpt "$CKPT" --wq 4 --fd 256
 run_gate toy_w8a8  --ckpt "$CKPT" --wq 8 --fd 256
 run_gate toy_w4a32 --ckpt "$CKPT" --wq 4 --no-aq --fd 256
 
+# Conditioned row early (TIB-LDM, QK/SMV matmul quant, softmax-output
+# quant, double-batched CFG end-to-end — reference path
+# txt2img.py:394-488, quant_block.py:212-354); tiny_sd = CLIP-text CFG.
+run_gate tiny_sd_w4a8 tiny_sd --wq 4 --fd 64
+
 run_gate cifar10_w8a8  cifar10 --wq 8 --fd 128
 run_gate cifar10_w4a8  cifar10 --wq 4 --fd 128
 run_gate cifar10_w4a32 cifar10 --wq 4 --no-aq --fd 128
 
-# Conditioned rows: TIB-LDM, QK/SMV matmul quant, softmax-output quant,
-# and double-batched CFG end-to-end (reference path txt2img.py:394-488,
-# quant_block.py:212-354). tiny_sd = CLIP-text CFG; cin256_v2 = the real
-# ImageNet class-cond shape at CFG scale 3.0.
-run_gate tiny_sd_w4a8 tiny_sd --wq 4 --fd 64
+# Second conditioned row: cin256_v2 = the real ImageNet class-cond
+# shape at CFG scale 3.0.
 run_gate cin256_w4a8 cin256_v2 --wq 4 --batch 8
 
 # Reference-budget A/B on the SAME seed (substantiates the 5k/64 cut):
