@@ -78,13 +78,16 @@ run_gate cifar10_w8a8  cifar10 --wq 8 --fd 128
 run_gate cifar10_w4a8  cifar10 --wq 4 --fd 128
 run_gate cifar10_w4a32 cifar10 --wq 4 --no-aq --fd 128
 
+# Reference-budget A/B on the SAME seed (substantiates the 5k/64 cut)
+# before the optional second conditioned row — it is the harder
+# VERDICT deliverable in a bounded wall clock:
+GATE_ITERS=20000 GATE_NCALI=256 \
+  run_gate toy_w4a8_ref20k --ckpt "$CKPT" --wq 4 --fd 256
+
 # Second conditioned row: cin256_v2 = the real ImageNet class-cond
 # shape at CFG scale 3.0.
 run_gate cin256_w4a8 cin256_v2 --wq 4 --batch 8
 
-# Reference-budget A/B on the SAME seed (substantiates the 5k/64 cut):
-GATE_ITERS=20000 GATE_NCALI=256 \
-  run_gate toy_w4a8_ref20k --ckpt "$CKPT" --wq 4 --fd 256
 GATE_ITERS=20000 GATE_NCALI=256 \
   run_gate cifar10_w4a8_ref20k cifar10 --wq 4 --fd 128
 

@@ -20,27 +20,33 @@ def row(path):
     if weights.startswith("trained:"):
         weights = "trained (`%s`)" % weights.split(":", 1)[1]
     fd = d.get("proxy_fd_fp_vs_quant")
+    fd_data = None
+    if d.get("proxy_fd_data_vs_fp") is not None:
+        fd_data = "%s / %s" % (d["proxy_fd_data_vs_fp"],
+                               d["proxy_fd_data_vs_quant"])
     guard = d.get("recon_guard")
     if guard:
         guard_s = "%d/%d" % (guard["kept_trained"], guard["units"])
     else:
         guard_s = "—"
     return ("| {task} | {weights} | {setting} | {iters} | {ncali} | "
-            "{sq_mean}/{sq_min} | {psnr} | {traj} | {fd} | {guard} |"
-            ).format(
+            "{sq_mean}/{sq_min} | {psnr} | {traj} | {fd} | {fd_data} | "
+            "{guard} |").format(
         task=d["task"], weights=weights, setting=d["setting"],
         iters=d["recon_iters"], ncali=d.get("cali_per_step", "—"),
         sq_mean=d["unet_sqnr_db_mean"], sq_min=d["unet_sqnr_db_min"],
         psnr=d["sample_psnr_db"], traj=d["traj_sqnr_db"],
-        fd="—" if fd is None else fd, guard=guard_s)
+        fd="—" if fd is None else fd,
+        fd_data="—" if fd_data is None else fd_data, guard=guard_s)
 
 
 def main():
     paths = sys.argv[1:] or sorted(glob.glob("runs/quality_*.json"))
     print("| task | weights | setting | recon iters | cali/step | "
           "UNet SQNR mean/min (dB) | sample PSNR (dB) | "
-          "traj SQNR (dB) | proxy FD fp↔q | guard kept |")
-    print("|---|---|---|---|---|---|---|---|---|---|")
+          "traj SQNR (dB) | proxy FD fp↔q | proxy FD data↔fp / data↔q | "
+          "guard kept |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     for p in paths:
         print(row(p))
 
