@@ -74,18 +74,19 @@ run_gate toy_w4a32 --ckpt "$CKPT" --wq 4 --no-aq --fd 256
 # txt2img.py:394-488, quant_block.py:212-354); tiny_sd = CLIP-text CFG.
 run_gate tiny_sd_w4a8 tiny_sd --wq 4 --fd 64
 
+# Reference-budget A/B on the SAME seed (substantiates the 5k/64 cut)
+# ahead of the cifar trio: a gate is atomic, and losing the A/B to the
+# wall clock costs more than losing the last cifar row:
+GATE_ITERS=20000 GATE_NCALI=256 \
+  run_gate toy_w4a8_ref20k --ckpt "$CKPT" --wq 4 --fd 256
+
 run_gate cifar10_w8a8  cifar10 --wq 8 --fd 128
 run_gate cifar10_w4a8  cifar10 --wq 4 --fd 128
 run_gate cifar10_w4a32 cifar10 --wq 4 --no-aq --fd 128
 
-# Reference-budget A/B on the SAME seed (substantiates the 5k/64 cut)
-# before the optional second conditioned row — it is the harder
-# VERDICT deliverable in a bounded wall clock:
-GATE_ITERS=20000 GATE_NCALI=256 \
-  run_gate toy_w4a8_ref20k --ckpt "$CKPT" --wq 4 --fd 256
-
-# Second conditioned row: cin256_v2 = the real ImageNet class-cond
-# shape at CFG scale 3.0.
+# Time-permitting tail: second conditioned row (cin256_v2 = the real
+# ImageNet class-cond shape at CFG scale 3.0), then the cifar-scale
+# reference-budget A/B.
 run_gate cin256_w4a8 cin256_v2 --wq 4 --batch 8
 
 GATE_ITERS=20000 GATE_NCALI=256 \
