@@ -69,8 +69,12 @@ def _steps_per_sec(step_fn, params, x, t, batch):
         est = batch * (N_LONG - N_SHORT) / (d2 - d1)
         # discard-and-retry nonphysical reps: tunnel noise can make the
         # long-minus-short difference go negative (round 3 recorded a
-        # -1492 steps/s rep); such a rep measures nothing
-        if np.isfinite(est) and est > 0:
+        # -1492 steps/s rep) — and a near-zero POSITIVE difference is
+        # the same noise with the opposite sign, yielding an absurdly
+        # large estimate; keeping only one side would bias the median
+        # upward. 20 ms floor ≈ rejects estimates beyond ~100x any
+        # plausible chip throughput for these shapes.
+        if np.isfinite(est) and est > 0 and (d2 - d1) >= 0.02:
             reps.append(est)
     if not reps:
         raise RuntimeError("no physical (positive) bench rep in "

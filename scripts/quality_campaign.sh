@@ -2,7 +2,8 @@
 # Quality campaign: produce every row of docs/QUALITY.md's results table
 # on the real TPU chip, committing one JSON artifact per row under runs/
 # plus a per-unit recon-loss-curve npz under runs/logs/ (auditable
-# convergence evidence).
+# convergence evidence). Each finished row is git-committed IMMEDIATELY
+# (rounds 3 and 4 both died mid-campaign with finished rows untracked).
 #
 # Budget notes (docs/QUALITY.md cites this script):
 # - default recon iters 5000/unit and 64 cali samples/step; the
@@ -23,10 +24,19 @@ mkdir -p runs/logs
 ITERS=${ITERS:-5000}
 NCALI=${NCALI:-64}
 CKPT=runs/toy_ddpm.npz
+CIFAR_CKPT=runs/cifar10_ddpm.npz
 
 if [ ! -f "$CKPT" ]; then
   python scripts/train_toy.py --steps 8000 --out "$CKPT" \
     --sample runs 2>&1 | tee runs/logs/train_toy.log
+fi
+# trained weights at the PUBLISHED cifar10 architecture (closes the
+# "trained x real shape" gap: every cifar10 row below quantizes a model
+# that actually generates structured images at the BASELINE shape)
+if [ ! -f "$CIFAR_CKPT" ]; then
+  python scripts/train_toy.py --config cifar10 --steps 12000 \
+    --out "$CIFAR_CKPT" --sample runs 2>&1 \
+    | tee runs/logs/train_cifar10.log
 fi
 
 FAILED=""
@@ -51,6 +61,11 @@ run_gate () {  # run_gate <tag> <args...>; GATE_ITERS/GATE_NCALI override
          --json "$out" 2>&1 | tee -a "runs/logs/gate_${tag}.log"; then
       if [ -s "$out" ]; then
         rm -rf "runs/resume_${tag}"
+        # commit the row NOW: a killed campaign must leave zero
+        # completed-but-uncommitted rows (round-4 verdict item 6)
+        git add "$out" "runs/logs/curves_${tag}.npz" \
+          "runs/logs/gate_${tag}.log" 2>/dev/null
+        git commit -q -m "Quality row ${tag}" -m "$(cat "$out")" || true
         return 0
       fi
     fi
@@ -62,17 +77,18 @@ run_gate () {  # run_gate <tag> <args...>; GATE_ITERS/GATE_NCALI override
   return 1
 }
 
-# Cheap trained-weight gates first (the toy model is ~6x faster per
-# gate than the full cifar10 shape), so rows land earliest in a bounded
-# wall clock; cifar10 (real BASELINE shape, random init) after.
+# Toy trio first: warm-cache rows (~15 min each) that validate the
+# shared-FP-capture path end-to-end and carry full-precision proxy-FD
+# (round-4 values saturated at 3 decimals and could not order settings).
 run_gate toy_w4a8  --ckpt "$CKPT" --wq 4 --fd 256
 run_gate toy_w8a8  --ckpt "$CKPT" --wq 8 --fd 256
 run_gate toy_w4a32 --ckpt "$CKPT" --wq 4 --no-aq --fd 256
 
-# Conditioned row early (TIB-LDM, QK/SMV matmul quant, softmax-output
-# quant, double-batched CFG end-to-end — reference path
-# txt2img.py:394-488, quant_block.py:212-354); tiny_sd = CLIP-text CFG.
-run_gate tiny_sd_w4a8 tiny_sd --wq 4 --fd 64
+# Conditioned row (TIB-LDM, QK/SMV matmul quant, softmax-output quant,
+# double-batched CFG end-to-end — reference path txt2img.py:394-488,
+# quant_block.py:212-354); tiny_sd = CLIP-text CFG. --fd 128: 64
+# samples cannot estimate a 64-dim covariance (round-4 advisor).
+run_gate tiny_sd_w4a8 tiny_sd --wq 4 --fd 128
 
 # Reference-budget A/B on the SAME seed (substantiates the 5k/64 cut)
 # ahead of the cifar trio: a gate is atomic, and losing the A/B to the
@@ -80,9 +96,12 @@ run_gate tiny_sd_w4a8 tiny_sd --wq 4 --fd 64
 GATE_ITERS=20000 GATE_NCALI=256 \
   run_gate toy_w4a8_ref20k --ckpt "$CKPT" --wq 4 --fd 256
 
-run_gate cifar10_w8a8  cifar10 --wq 8 --fd 128
-run_gate cifar10_w4a8  cifar10 --wq 4 --fd 128
-run_gate cifar10_w4a32 cifar10 --wq 4 --no-aq --fd 128
+# Real BASELINE shape x TRAINED weights (the published cifar10
+# architecture trained in-repo; structured samples, so quantization
+# damage is visible in every metric including proxy-FD):
+run_gate cifar10_w4a8  cifar10 --ckpt "$CIFAR_CKPT" --wq 4 --fd 128
+run_gate cifar10_w8a8  cifar10 --ckpt "$CIFAR_CKPT" --wq 8 --fd 128
+run_gate cifar10_w4a32 cifar10 --ckpt "$CIFAR_CKPT" --wq 4 --no-aq --fd 128
 
 # Time-permitting tail: second conditioned row (cin256_v2 = the real
 # ImageNet class-cond shape at CFG scale 3.0), then the cifar-scale
@@ -90,7 +109,7 @@ run_gate cifar10_w4a32 cifar10 --wq 4 --no-aq --fd 128
 run_gate cin256_w4a8 cin256_v2 --wq 4 --batch 8
 
 GATE_ITERS=20000 GATE_NCALI=256 \
-  run_gate cifar10_w4a8_ref20k cifar10 --wq 4 --fd 128
+  run_gate cifar10_w4a8_ref20k cifar10 --ckpt "$CIFAR_CKPT" --wq 4 --fd 128
 
 echo "campaign done (failed gates:${FAILED:-' none'})"
 ls -la runs/quality_*.json

@@ -208,8 +208,13 @@ def main():
                 lg.info("recon %-24s resumed from checkpoint", unit)
                 return
             arr = np.asarray(losses)
-            curves[unit] = arr[::max(1, len(arr) // 200)].astype(
-                np.float32)
+            # keep the TRUE final point: curves_summary.py reads c[-1]
+            # as the deployable end loss, and plain ::step subsampling
+            # generally drops it
+            sub = arr[::max(1, len(arr) // 200)]
+            if len(arr) and (len(arr) - 1) % max(1, len(arr) // 200):
+                sub = np.append(sub, arr[-1])
+            curves[unit] = sub.astype(np.float32)
             lg.info("recon %-24s loss %.6f -> %.6f", unit,
                     float(arr[0]), float(arr[-1]))
 
@@ -345,18 +350,21 @@ def main():
         set_q = sample_set(roll_q, jax.random.PRNGKey(100))
         mu_f, s_f = activation_stats(set_fp, ext, args.batch)
         mu_q, s_q = activation_stats(set_q, ext, args.batch)
-        out["proxy_fd_fp_vs_quant"] = round(
-            float(fid_from_stats(mu_f, s_f, mu_q, s_q)), 3)
+        # FULL precision in the JSON (round only when rendering): at 3
+        # decimals w8a8/w4a8/w4a32 all collapsed to 0.000-0.002 and the
+        # metric could not order settings (round-4 verdict)
+        out["proxy_fd_fp_vs_quant"] = float(
+            fid_from_stats(mu_f, s_f, mu_q, s_q))
         if trained is not None:
             from tfmq_dm_tpu.data.synthetic import blobs_batch
             data = np.clip(np.asarray(blobs_batch(
                 jax.random.PRNGKey(5), args.fd, res, chans))
                 * 0.5 + 0.5, 0, 1)
             mu_d, s_d = activation_stats(data, ext, args.batch)
-            out["proxy_fd_data_vs_fp"] = round(
-                float(fid_from_stats(mu_d, s_d, mu_f, s_f)), 3)
-            out["proxy_fd_data_vs_quant"] = round(
-                float(fid_from_stats(mu_d, s_d, mu_q, s_q)), 3)
+            out["proxy_fd_data_vs_fp"] = float(
+                fid_from_stats(mu_d, s_d, mu_f, s_f))
+            out["proxy_fd_data_vs_quant"] = float(
+                fid_from_stats(mu_d, s_d, mu_q, s_q))
     print(json.dumps(out))
     if args.json:
         with open(args.json, "w") as f:

@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--ema", type=float, default=0.999)
     ap.add_argument("--out", default="runs/toy_ddpm.npz")
+    ap.add_argument("--config", default=None, choices=["cifar10"],
+                    help="train the PUBLISHED architecture "
+                         "(ddim/configs/cifar10.yml via "
+                         "models.ddim_unet.cifar10_config) instead of "
+                         "the --ch/--res toy topology — gives the "
+                         "quality gates trained weights at the real "
+                         "BASELINE shape")
     ap.add_argument("--dp", type=int, default=0,
                     help="shard the batch over a dp mesh axis")
     ap.add_argument("--sample", default=None, metavar="PNGDIR",
@@ -50,9 +57,13 @@ def main():
                          "samples to PNGDIR/toy_samples.png")
     args = ap.parse_args()
 
-    cfg = ddim_unet.DDIMUNetConfig(
-        resolution=args.res, ch=args.ch, ch_mult=(1, 2, 2),
-        num_res_blocks=2, attn_resolutions=(args.res // 2,))
+    if args.config == "cifar10":
+        cfg = ddim_unet.cifar10_config()
+        args.res, args.ch = cfg.resolution, cfg.ch
+    else:
+        cfg = ddim_unet.DDIMUNetConfig(
+            resolution=args.res, ch=args.ch, ch_mult=(1, 2, 2),
+            num_res_blocks=2, attn_resolutions=(args.res // 2,))
     params = ddim_unet.init_params(jax.random.PRNGKey(0), cfg)
     betas = get_beta_schedule("linear", beta_start=1e-4, beta_end=0.02,
                               num_diffusion_timesteps=args.timesteps)
@@ -105,7 +116,8 @@ def main():
             betas, seq, x, k))(x0, k_s)
         imgs = np.clip(np.asarray(last) * 0.5 + 0.5, 0, 1)
         from tfmq_dm_tpu.pipelines.sampling import save_grid
-        path = os.path.join(args.sample, "toy_samples.png")
+        stem = os.path.splitext(os.path.basename(args.out))[0]
+        path = os.path.join(args.sample, f"{stem}_samples.png")
         save_grid(imgs, path, n_rows=8)
         print(f"sample grid -> {path}")
 

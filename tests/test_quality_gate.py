@@ -35,13 +35,16 @@ def test_quality_gate_tiny_ddim(wq, sqnr_floor, tmp_path):
     assert res["sample_psnr_db"] >= 25.0, res
 
 
-def test_quality_floor_micro_w8a8():
-    """FAST-TIER quality floor: the full pipeline (harvest -> TIAR ->
-    FSC -> quantized rollout) on the tiny config must keep the w8a8
-    model above fixed SQNR/PSNR floors. Runs in the default tier so a
-    plain `pytest -q` fails if calibration or quantized-inference
-    numerics regress; the heavier parametrized gates below stay in the
-    slow tier."""
+@pytest.mark.parametrize("wq,sqnr_floor,psnr_floor",
+                         [(8, 20.0, 30.0), (4, 8.0, 22.0)])
+def test_quality_floor_micro(wq, sqnr_floor, psnr_floor):
+    """FAST-TIER quality floors: the full pipeline (harvest -> TIAR ->
+    FSC -> quantized rollout) on the tiny config must keep the w8a8 and
+    w4a8 models above fixed SQNR/PSNR floors. Runs in the default tier
+    so a plain `pytest -q` fails if calibration or quantized-inference
+    numerics regress (scalers, AdaRound+guard, TIAR, FSC) — BEFORE a
+    TPU campaign burns hours on a broken build; the heavier
+    subprocess-driven gates above stay in the slow tier."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,7 +65,7 @@ def test_quality_floor_micro_w8a8():
     def fp_apply(x, t, c=None, qctx=None):
         return ddim_unet.apply(params, cfg, x, t, qctx)
 
-    qargs = ptq.QuantArgs(wq=8, aq=8, use_aq=True, w_sym=True,
+    qargs = ptq.QuantArgs(wq=wq, aq=8, use_aq=True, w_sym=True,
                           iters=40, cali_save_path=None, seed=0)
     adapter = ptq.build_adapter(task, qargs)
     steps = 8
@@ -109,5 +112,5 @@ def test_quality_floor_micro_w8a8():
     sqnrs = [sqnr_db(e_fp[i], e_q[i]) for i in range(n_steps)]
     fp_img = np.clip(np.asarray(fp_last) * 0.5 + 0.5, 0, 1)
     q_img = np.clip(np.asarray(q_last) * 0.5 + 0.5, 0, 1)
-    assert float(np.mean(sqnrs)) >= 20.0, sqnrs
-    assert psnr(fp_img, q_img) >= 30.0, psnr(fp_img, q_img)
+    assert float(np.mean(sqnrs)) >= sqnr_floor, sqnrs
+    assert psnr(fp_img, q_img) >= psnr_floor, psnr(fp_img, q_img)

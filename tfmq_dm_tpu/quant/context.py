@@ -51,7 +51,8 @@ class QuantCtx:
                  deploy: Optional[dict] = None,
                  act_out_dtype=None,
                  override: Optional[dict] = None,
-                 flash: bool = False):
+                 flash: bool = False,
+                 capture_tags: Optional[FrozenSet[str]] = None):
         self.policy = policy
         self.wstate = wstate or {}
         self.astate = astate or {}
@@ -59,6 +60,11 @@ class QuantCtx:
         self.use_aq = use_aq
         self.soft_units = soft_units
         self.capture = capture  # None => no tape; set of unit names (or {"*"})
+        # None => tape both "in" and "out"; else only the listed tags —
+        # the shared FP-output precapture (recon.precapture_fp_outs)
+        # tapes every unit's "out" in ONE pass and halving the tape this
+        # way halves its device-memory footprint
+        self.capture_tags = capture_tags
         self.tape: Dict[str, object] = {}
         self.act_mode = act_mode
         self.arange = arange or {}
@@ -148,7 +154,8 @@ class QuantCtx:
                 unit in self.override:
             value = self.override[unit]
         if self.capture is not None and \
-                ("*" in self.capture or unit in self.capture):
+                ("*" in self.capture or unit in self.capture) and \
+                (self.capture_tags is None or tag in self.capture_tags):
             self.tape[f"{unit}::{tag}"] = value
         return value
 

@@ -99,16 +99,80 @@ def _capture_batch(adapter: ModelAdapter, unit_name: str, asym: bool,
     return inp, out
 
 
+@functools.partial(jax.jit, static_argnames=("adapter", "unit_name",
+                                             "use_aq"))
+def _capture_in_batch(adapter: ModelAdapter, unit_name: str, use_aq: bool,
+                      params, wstate, astate, batch):
+    """Quantized-prefix forward taping ONLY the unit's input — the asym
+    half of ``_capture_batch`` when the FP outputs were already captured
+    by the shared ``precapture_fp_outs`` pass (the other half)."""
+    ctx_q = QuantCtx(adapter.policy, wstate=wstate, astate=astate,
+                     use_wq=True, use_aq=use_aq,
+                     capture=frozenset({unit_name}),
+                     capture_tags=frozenset({"in"}))
+    adapter.forward(params, ctx_q, *batch)
+    return ctx_q.tape[f"{unit_name}::in"]
+
+
+@functools.partial(jax.jit, static_argnames=("adapter", "unit_names",
+                                             "tags"))
+def _capture_many_batch(adapter: ModelAdapter, unit_names: frozenset,
+                        tags: frozenset, params, batch):
+    """ONE FP forward taping the requested tags of EVERY listed unit.
+    The reference re-runs a full forward per block to cache its outputs
+    (save_inout, data_utill.py:13-51, called once per recon unit); FP
+    outputs do not depend on the quantized prefix, so one pass serves
+    all units — with asym capture this halves the model forwards per
+    calibration (the order-dependent quantized-prefix INPUT captures
+    remain per-unit by necessity)."""
+    ctx = QuantCtx(adapter.policy, capture=unit_names, capture_tags=tags)
+    adapter.forward(params, ctx, *batch)
+    return {k: v for k, v in ctx.tape.items()}
+
+
+# host-RAM budget for the shared FP-output cache; above this the engine
+# falls back to per-unit fused capture (the one-pass cache would not fit)
+FP_OUT_HOST_BUDGET = 48 << 30
+
+
+def precapture_fp_outs(adapter: ModelAdapter, unit_names, params,
+                       cali_data, *, batch_size: int = 128):
+    """One streamed FP pass over the cali set caching every listed
+    unit's output on the host: ``{unit: pytree of np arrays}``. Feed the
+    per-unit entry to ``capture_unit_io(..., fp_out=...)`` to skip its
+    FP forward."""
+    names = frozenset(unit_names)
+    if not names:
+        return {}
+    n = cali_data[0].shape[0]
+    parts = {}
+    for i in range(0, n, batch_size):
+        batch = tuple(x[i:i + batch_size] for x in cali_data)
+        tape = _capture_many_batch(adapter, names,
+                                   frozenset({"out"}), params, batch)
+        tape = jax.tree.map(lambda x: np.asarray(x), tape)
+        for k, v in tape.items():
+            parts.setdefault(k, []).append(v)
+    return {k.removesuffix("::out"):
+            jax.tree.map(lambda *xs: np.concatenate(xs), *v)
+            for k, v in parts.items()}
+
+
 def capture_unit_io(adapter: ModelAdapter, unit: UnitSpec, params,
                     cali_data: Tuple[jax.Array, ...], wstate, astate=None,
                     *, asym: bool = True, use_aq: bool = False,
-                    batch_size: int = 128, to_host: bool = False):
+                    batch_size: int = 128, to_host: bool = False,
+                    fp_out=None):
     """Cache (inputs, outputs) of one unit over the calibration set
     (save_inout, data_utill.py:13-51): inputs from the quantized-prefix
     forward when ``asym``, outputs always from the FP forward.
     ``to_host``: stream the cache to host numpy — the reference's
     keep_gpu=False offload for units whose cached I/O exceeds device
-    memory (calibration.py:62-67, data_utill.py:39-41)."""
+    memory (calibration.py:62-67, data_utill.py:39-41).
+    ``fp_out``: this unit's FP outputs precomputed by the shared
+    ``precapture_fp_outs`` pass (host numpy) — with ``asym`` the FP
+    forward is then skipped entirely and only the quantized-prefix
+    input capture runs."""
     if unit.kind.startswith("tib"):
         # TIB's I/O is its own forward on (t[, y]): inputs are the raw cali
         # timesteps, outputs the FP projection tuple (save_inout(block,
@@ -123,6 +187,20 @@ def capture_unit_io(adapter: ModelAdapter, unit: UnitSpec, params,
         return inputs, outputs
     astate = astate or {}
     n = cali_data[0].shape[0]
+    cat = np.concatenate if to_host else jnp.concatenate
+    if fp_out is not None and asym:
+        ins = []
+        for i in range(0, n, batch_size):
+            batch = tuple(x[i:i + batch_size] for x in cali_data)
+            inp = _capture_in_batch(adapter, unit.name, use_aq, params,
+                                    wstate, astate, batch)
+            if to_host:
+                inp = jax.tree.map(lambda x: np.asarray(x), inp)
+            ins.append(inp)
+        inputs = jax.tree.map(lambda *xs: cat(xs), *ins)
+        outputs = fp_out if to_host \
+            else jax.tree.map(jnp.asarray, fp_out)
+        return inputs, outputs
     ins, outs = [], []
     for i in range(0, n, batch_size):
         batch = tuple(x[i:i + batch_size] for x in cali_data)
@@ -133,7 +211,6 @@ def capture_unit_io(adapter: ModelAdapter, unit: UnitSpec, params,
             out = jax.tree.map(lambda x: np.asarray(x), out)
         ins.append(inp)
         outs.append(out)
-    cat = np.concatenate if to_host else jnp.concatenate
     inputs = jax.tree.map(lambda *xs: cat(xs), *ins)
     outputs = jax.tree.map(lambda *xs: cat(xs), *outs)
     return inputs, outputs
@@ -482,6 +559,16 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
         return wstate, None
     role_cfgs, uparams, fixed, alphas = prep
 
+    on_host = isinstance(jax.tree.leaves(inputs)[0], np.ndarray)
+    if mesh is not None and not on_host:
+        # shard/truncate ONCE, before the nearest-rounding eval, so both
+        # do-no-harm guard evals and the Adam loop see the IDENTICAL
+        # sample set (a guard comparing losses over different sample
+        # sets can flip on borderline units). Single-process meshes
+        # only: _hard_eval's host-side slicing needs addressable arrays.
+        inputs, outputs, fgrads = _shard_samples(mesh, inputs, outputs,
+                                                 fgrads)
+
     # nearest-rounding baseline, expressed as fresh init_alpha alphas so
     # (a) it is EXACTLY the state a revert stores and (b) both guard
     # evals share one compiled program (same pytree structure)
@@ -527,7 +614,7 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
         return parts
 
     loss_parts = []
-    if isinstance(jax.tree.leaves(inputs)[0], np.ndarray):
+    if on_host:
         # host-offloaded cache: stream sample chunks to the device and
         # run the iteration schedule as segments over each chunk (the
         # reference's keep_gpu=False path moves every minibatch
@@ -564,9 +651,6 @@ def reconstruct_unit(adapter: ModelAdapter, unit: UnitSpec, params,
                 uparams, fixed, alphas, cin, cout, k, cg,
                 opt_state=opt_state, iter0=i0, n_iters=n_it, mesh=mesh))
     else:
-        if mesh is not None:
-            inputs, outputs, fgrads = _shard_samples(mesh, inputs,
-                                                     outputs, fgrads)
         loss_parts += _segments(hp.iters, lambda k, i0, n_it: _recon_run(
             adapter.unit_fwd, unit.kind, role_cfgs, unit.extra, hp,
             uparams, fixed, alphas, inputs, outputs, k, fgrads,
@@ -730,18 +814,39 @@ def reconstruct_act(adapter: ModelAdapter, params, cali_data, wstate,
     runs this as the ``use_aq=True`` second pass of recon_model).
     ``astate`` is a flat ``{site: {delta, zp}}`` dict — e.g. one FSC
     group's slice — whose deltas get re-optimized in place."""
-    for unit in adapter.units:
-        if not unit.recon or not adapter.default_train_roles(unit):
-            continue
-        has_act = any(
+    def _has_act(unit):
+        return any(
             (pol := adapter.policy.get(full)) is not None and pol.aq
             and full in astate
             for _, full in tuple(unit.layers) + tuple(unit.act_sites))
-        if not has_act:
+
+    # shared FP-output cache, as in the weight phase (act-phase targets
+    # are the same prefix-independent FP outputs)
+    act_units = [u for u in adapter.units
+                 if u.recon and adapter.default_train_roles(u)
+                 and not u.kind.startswith("tib") and _has_act(u)]
+    fp_outs = {}
+    if hp.asym and act_units:
+        ptape = jax.tree.map(np.asarray, _capture_many_batch(
+            adapter, frozenset(u.name for u in act_units),
+            frozenset({"out"}), params,
+            tuple(x[:1] for x in cali_data)))
+        total = sum(_bytes_per_row((), v) for v in ptape.values()) \
+            * cali_data[0].shape[0]
+        if total <= FP_OUT_HOST_BUDGET:
+            fp_outs = precapture_fp_outs(
+                adapter, [u.name for u in act_units], params, cali_data,
+                batch_size=capture_batch_size)
+
+    for unit in adapter.units:
+        if not unit.recon or not adapter.default_train_roles(unit):
+            continue
+        if not _has_act(unit):
             continue
         inputs, outputs = capture_unit_io(
             adapter, unit, params, cali_data, wstate, astate,
-            asym=hp.asym, use_aq=True, batch_size=capture_batch_size)
+            asym=hp.asym, use_aq=True, batch_size=capture_batch_size,
+            fp_out=fp_outs.get(unit.name))
         key, k = jax.random.split(key)
         astate, losses = reconstruct_unit_act(
             adapter, unit, params, wstate, astate, inputs, outputs,
@@ -775,11 +880,49 @@ def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
     def _unit_path(name):
         return os.path.join(resume_dir, name.replace("/", "_") + ".npz")
 
+    def _resumable(unit):
+        return resume_dir and os.path.exists(_unit_path(unit.name))
+
+    # ONE 1-sample FP probe returns every pending unit's I/O shapes (for
+    # the host-offload decision) — the previous per-unit probe compiled a
+    # separate 1-sample capture program per unit
+    pending = [u for u in adapter.units
+               if u.recon and adapter.default_train_roles(u)
+               and not u.kind.startswith("tib") and not _resumable(u)]
+    n_samples = cali_data[0].shape[0]
+    row_bytes, out_bytes = {}, {}
+    if pending:
+        ptape = jax.tree.map(np.asarray, _capture_many_batch(
+            adapter, frozenset(u.name for u in pending),
+            frozenset({"in", "out"}), params,
+            tuple(x[:1] for x in cali_data)))
+        for u in pending:
+            p_in, p_out = ptape[f"{u.name}::in"], ptape[f"{u.name}::out"]
+            row_bytes[u.name] = _bytes_per_row(p_in, p_out)
+            out_bytes[u.name] = _bytes_per_row((), p_out)
+
+    # shared FP-output cache: one pass over the cali set serves every
+    # unit's recon targets (FP outputs are prefix-independent; only the
+    # asym INPUT captures depend on the partially reconstructed prefix)
+    fp_outs = {}
+    if hp.asym and pending:
+        total = sum(out_bytes.values()) * n_samples
+        if total <= FP_OUT_HOST_BUDGET:
+            logger.info("recon: precapturing FP outputs of %d units in "
+                        "one pass (~%.1f GiB host)", len(pending),
+                        total / (1 << 30))
+            fp_outs = precapture_fp_outs(
+                adapter, [u.name for u in pending], params, cali_data,
+                batch_size=capture_batch_size)
+        else:
+            logger.info("recon: FP-output cache ~%.1f GiB exceeds budget"
+                        " — per-unit fused capture", total / (1 << 30))
+
     for unit in adapter.units:
         train = adapter.default_train_roles(unit)
         if not unit.recon or not train:
             continue
-        if resume_dir and os.path.exists(_unit_path(unit.name)):
+        if _resumable(unit):
             data = np.load(_unit_path(unit.name))
             for role, full in unit.layers:
                 akey = f"{full}::alpha"
@@ -792,12 +935,7 @@ def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
             continue
         to_host = False
         if not unit.kind.startswith("tib"):
-            # probe one sample's captured shapes to decide host offload
-            p_in, p_out = capture_unit_io(
-                adapter, unit, params,
-                tuple(x[:1] for x in cali_data), wstate,
-                asym=hp.asym, use_aq=hp.use_aq, batch_size=1)
-            est = _bytes_per_row(p_in, p_out) * cali_data[0].shape[0]
+            est = row_bytes[unit.name] * n_samples
             to_host = est > HOST_OFFLOAD_BYTES
             if to_host:
                 logger.info("recon %s: cached I/O ~%.1f GiB -> host "
@@ -806,7 +944,8 @@ def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
         inputs, outputs = capture_unit_io(
             adapter, unit, params, cali_data, wstate,
             asym=hp.asym, use_aq=hp.use_aq,
-            batch_size=capture_batch_size, to_host=to_host)
+            batch_size=capture_batch_size, to_host=to_host,
+            fp_out=fp_outs.get(unit.name))
         fgrads = None
         if hp.rloss != "mse" and not unit.kind.startswith("tib"):
             fgrads = capture_unit_grads(adapter, unit, params, cali_data,
