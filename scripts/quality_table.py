@@ -19,11 +19,18 @@ def row(path):
     weights = d.get("weights", "random init")
     if weights.startswith("trained:"):
         weights = "trained (`%s`)" % weights.split(":", 1)[1]
-    fd = d.get("proxy_fd_fp_vs_quant")
+
+    def fmt(v):
+        # artifacts carry FULL precision (the 3-decimal artifacts of
+        # round 4 could not order w4a32 vs w4a8); round only here
+        return v if v is None or not isinstance(v, float) \
+            else float("%.3g" % v)
+
+    fd = fmt(d.get("proxy_fd_fp_vs_quant"))
     fd_data = None
     if d.get("proxy_fd_data_vs_fp") is not None:
-        fd_data = "%s / %s" % (d["proxy_fd_data_vs_fp"],
-                               d["proxy_fd_data_vs_quant"])
+        fd_data = "%s / %s" % (fmt(d["proxy_fd_data_vs_fp"]),
+                               fmt(d["proxy_fd_data_vs_quant"]))
     guard = d.get("recon_guard")
     if guard:
         guard_s = "%d/%d" % (guard["kept_trained"], guard["units"])
