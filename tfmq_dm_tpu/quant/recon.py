@@ -435,8 +435,12 @@ def _hard_eval(unit_fwd, kind, role_cfgs, extra, hp: ReconHP, uparams,
 
 # device-memory budget for one unit's cached recon I/O; above this the
 # capture streams to host numpy and the Adam schedule runs in chunks
-# (the reference's keep_gpu heuristics, calibration.py:62-67)
-HOST_OFFLOAD_BYTES = 8 << 30
+# (the reference's keep_gpu heuristics, calibration.py:62-67).
+# 3 GiB, not more: the cache shares 16 GiB HBM with params, the Adam
+# working set, and the capture forward's live activations — an 8 GiB
+# threshold OOMed on the 25600-sample ref20k pool (gate log,
+# RESOURCE_EXHAUSTED in capture_unit_io's fp_out upload)
+HOST_OFFLOAD_BYTES = 3 << 30
 _HOST_CHUNK_BYTES = 2 << 30
 
 # When a unit is checkpointable (``partial_path``), its Adam schedule runs
