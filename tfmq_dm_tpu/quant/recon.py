@@ -407,15 +407,38 @@ def _hard_loss_batch(unit_fwd, kind, role_cfgs, extra, hp: ReconHP,
     return _rec_loss(pred, bout, hp.p, hp.rloss, bg)
 
 
+# a host-offloaded guard eval re-uploads the cache through the (slow)
+# host<->device link; cap the transfer at ~1 GiB via an even stride
+# across the cali set (sample order is timestep-major, so a prefix
+# would bias toward early timesteps), never below a 512-row floor.
+# Both guard evals use the identical subset, which is what the
+# keep/revert comparison requires; at >=512 i.i.d. rows the mean-loss
+# standard error is a few percent while guard separations are ~2-5x.
+HARD_EVAL_MAX_BYTES = 1 << 30
+HARD_EVAL_MIN_ROWS = 512
+
+
 def _hard_eval(unit_fwd, kind, role_cfgs, extra, hp: ReconHP, uparams,
                wstate_roles, inputs, outputs, fgrads=None, ast=None,
                use_aq=None, batch: int = 256) -> float:
-    """Mean hard-rounding loss over the full cached I/O, batched (two of
+    """Mean hard-rounding loss over the cached I/O, batched (two of
     these per unit cost two forwards — negligible next to the Adam
-    loop)."""
+    loop). Host-offloaded caches are stride-subsampled to
+    ``HARD_EVAL_MAX_BYTES`` of transfer."""
     if use_aq is None:
         use_aq = hp.use_aq
     n = jax.tree.leaves(inputs)[0].shape[0]
+    if isinstance(jax.tree.leaves(inputs)[0], np.ndarray):
+        max_rows = max(HARD_EVAL_MIN_ROWS,
+                       HARD_EVAL_MAX_BYTES
+                       // max(1, _bytes_per_row(inputs, outputs)))
+        if n > max_rows:
+            idx = np.linspace(0, n - 1, max_rows).astype(np.int64)
+            inputs = jax.tree.map(lambda x: x[idx], inputs)
+            outputs = jax.tree.map(lambda x: x[idx], outputs)
+            if fgrads is not None:
+                fgrads = np.asarray(fgrads)[idx]
+            n = max_rows
     tot, cnt = 0.0, 0
     for i in range(0, n, batch):
         binp = jax.tree.map(lambda x: jnp.asarray(x[i:i + batch]),
