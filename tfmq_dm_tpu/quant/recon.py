@@ -99,25 +99,44 @@ def _capture_batch(adapter: ModelAdapter, unit_name: str, asym: bool,
     return inp, out
 
 
+def _cast_tree(tree, dtype):
+    """Cast every float32 leaf (works under jit — used to ship host
+    caches as f16 over the slow tunnel link and restore f32 on
+    device; f16's 2^-11 relative step is 10-25x below even the w8a8
+    reconstruction residual, so the objective is unaffected)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "dtype")
+        and x.dtype in (jnp.float32, jnp.float16) else x, tree)
+
+
+def _f32(tree):
+    return _cast_tree(tree, jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("adapter", "unit_name",
-                                             "use_aq"))
+                                             "use_aq", "cast_f16"))
 def _capture_in_batch(adapter: ModelAdapter, unit_name: str, use_aq: bool,
-                      params, wstate, astate, batch):
+                      params, wstate, astate, batch,
+                      cast_f16: bool = False):
     """Quantized-prefix forward taping ONLY the unit's input — the asym
     half of ``_capture_batch`` when the FP outputs were already captured
-    by the shared ``precapture_fp_outs`` pass (the other half)."""
+    by the shared ``precapture_fp_outs`` pass (the other half).
+    ``cast_f16``: cast on DEVICE so the host fetch moves half the
+    bytes (host-offloaded caches only)."""
     ctx_q = QuantCtx(adapter.policy, wstate=wstate, astate=astate,
                      use_wq=True, use_aq=use_aq,
                      capture=frozenset({unit_name}),
                      capture_tags=frozenset({"in"}))
     adapter.forward(params, ctx_q, *batch)
-    return ctx_q.tape[f"{unit_name}::in"]
+    out = ctx_q.tape[f"{unit_name}::in"]
+    return _cast_tree(out, jnp.float16) if cast_f16 else out
 
 
 @functools.partial(jax.jit, static_argnames=("adapter", "unit_names",
-                                             "tags"))
+                                             "tags", "cast_f16"))
 def _capture_many_batch(adapter: ModelAdapter, unit_names: frozenset,
-                        tags: frozenset, params, batch):
+                        tags: frozenset, params, batch,
+                        cast_f16: bool = False):
     """ONE FP forward taping the requested tags of EVERY listed unit.
     The reference re-runs a full forward per block to cache its outputs
     (save_inout, data_utill.py:13-51, called once per recon unit); FP
@@ -127,7 +146,8 @@ def _capture_many_batch(adapter: ModelAdapter, unit_names: frozenset,
     remain per-unit by necessity)."""
     ctx = QuantCtx(adapter.policy, capture=unit_names, capture_tags=tags)
     adapter.forward(params, ctx, *batch)
-    return {k: v for k, v in ctx.tape.items()}
+    tape = {k: v for k, v in ctx.tape.items()}
+    return _cast_tree(tape, jnp.float16) if cast_f16 else tape
 
 
 # host-RAM budget for the shared FP-output cache; above this the engine
@@ -149,7 +169,8 @@ def precapture_fp_outs(adapter: ModelAdapter, unit_names, params,
     for i in range(0, n, batch_size):
         batch = tuple(x[i:i + batch_size] for x in cali_data)
         tape = _capture_many_batch(adapter, names,
-                                   frozenset({"out"}), params, batch)
+                                   frozenset({"out"}), params, batch,
+                                   cast_f16=True)
         tape = jax.tree.map(lambda x: np.asarray(x), tape)
         for k, v in tape.items():
             parts.setdefault(k, []).append(v)
@@ -188,12 +209,18 @@ def capture_unit_io(adapter: ModelAdapter, unit: UnitSpec, params,
     astate = astate or {}
     n = cali_data[0].shape[0]
     cat = np.concatenate if to_host else jnp.concatenate
+
+    def _host(x):  # host caches are f16 (see _cast_tree rationale)
+        x = np.asarray(x)
+        return x.astype(np.float16) if x.dtype == np.float32 else x
+
     if fp_out is not None and asym:
         ins = []
         for i in range(0, n, batch_size):
             batch = tuple(x[i:i + batch_size] for x in cali_data)
             inp = _capture_in_batch(adapter, unit.name, use_aq, params,
-                                    wstate, astate, batch)
+                                    wstate, astate, batch,
+                                    cast_f16=to_host)
             if to_host:
                 inp = jax.tree.map(lambda x: np.asarray(x), inp)
             ins.append(inp)
@@ -207,8 +234,8 @@ def capture_unit_io(adapter: ModelAdapter, unit: UnitSpec, params,
         inp, out = _capture_batch(adapter, unit.name, asym, use_aq,
                                   params, wstate, astate, batch)
         if to_host:
-            inp = jax.tree.map(lambda x: np.asarray(x), inp)
-            out = jax.tree.map(lambda x: np.asarray(x), out)
+            inp = jax.tree.map(_host, inp)
+            out = jax.tree.map(_host, out)
         ins.append(inp)
         outs.append(out)
     inputs = jax.tree.map(lambda *xs: cat(xs), *ins)
@@ -355,8 +382,8 @@ def _recon_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
             a, ost, k = carry
             k, k1 = jax.random.split(k)
             idx = jax.random.permutation(k1, n)[:bs]
-            binp = jax.tree.map(lambda x: x[idx], inputs)
-            bout = jax.tree.map(lambda x: x[idx], outputs)
+            binp = _f32(jax.tree.map(lambda x: x[idx], inputs))
+            bout = _f32(jax.tree.map(lambda x: x[idx], outputs))
             bg = None if fgrads is None else fgrads[idx]
             (loss, rec), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(a, wfixed, binp, bout, bg, i + 1.0)
@@ -402,6 +429,7 @@ def _hard_loss_batch(unit_fwd, kind, role_cfgs, extra, hp: ReconHP,
     """Hard-rounding (inference-mode, soft=False) reconstruction loss of
     one cached-I/O batch — the quantity the deployed model actually
     realizes, unlike the annealed soft loss the Adam loop optimizes."""
+    binp, bout = _f32(binp), _f32(bout)
     pred = unit_fwd(kind, role_cfgs, extra, uparams, wstate_roles, ast,
                     binp, False, use_aq)
     return _rec_loss(pred, bout, hp.p, hp.rloss, bg)
@@ -748,8 +776,8 @@ def _act_run(unit_fwd, kind: str, role_cfgs: tuple, extra: tuple,
             d, ost, k = carry
             k, k1 = jax.random.split(k)
             idx = jax.random.permutation(k1, n)[:bs]
-            binp = jax.tree.map(lambda x: x[idx], inputs)
-            bout = jax.tree.map(lambda x: x[idx], outputs)
+            binp = _f32(jax.tree.map(lambda x: x[idx], inputs))
+            bout = _f32(jax.tree.map(lambda x: x[idx], outputs))
             bg = None if fgrads is None else fgrads[idx]
             rec, grads = jax.value_and_grad(loss_fn)(d, binp, bout, bg)
             if mesh is not None:
@@ -859,7 +887,7 @@ def reconstruct_act(adapter: ModelAdapter, params, cali_data, wstate,
             frozenset({"out"}), params,
             tuple(x[:1] for x in cali_data)))
         total = sum(_bytes_per_row((), v) for v in ptape.values()) \
-            * cali_data[0].shape[0]
+            * cali_data[0].shape[0] // 2  # f16 host cache
         if total <= FP_OUT_HOST_BUDGET:
             fp_outs = precapture_fp_outs(
                 adapter, [u.name for u in act_units], params, cali_data,
@@ -933,10 +961,11 @@ def reconstruct(adapter: ModelAdapter, params, cali_data, wstate,
     # asym INPUT captures depend on the partially reconstructed prefix)
     fp_outs = {}
     if hp.asym and pending:
-        total = sum(out_bytes.values()) * n_samples
+        # the host cache is f16 — half the probe's f32 accounting
+        total = sum(out_bytes.values()) * n_samples // 2
         if total <= FP_OUT_HOST_BUDGET:
             logger.info("recon: precapturing FP outputs of %d units in "
-                        "one pass (~%.1f GiB host)", len(pending),
+                        "one pass (~%.1f GiB host, f16)", len(pending),
                         total / (1 << 30))
             fp_outs = precapture_fp_outs(
                 adapter, [u.name for u in pending], params, cali_data,
